@@ -1,0 +1,33 @@
+"""Test configuration: force a virtual 8-device CPU platform BEFORE jax imports.
+
+Multi-chip sharding tests run on a simulated 8-device CPU mesh
+(`--xla_force_host_platform_device_count=8`), the TPU-world replacement for
+the reference's absent distributed tests (SURVEY.md section 4).
+"""
+import os
+
+# Force CPU even if the ambient environment selects a TPU platform: tests
+# must not contend for the (single) real chip and need 8 virtual devices.
+# The environment may import jax at interpreter startup (sitecustomize), so
+# setting env vars alone is not enough — update jax.config too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU devices"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
