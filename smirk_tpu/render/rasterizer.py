@@ -1,0 +1,322 @@
+"""Differentiable triangle rasterization, TPU-native.
+
+Replaces the reference's PyTorch3D C++/CUDA `rasterize_meshes`
+(/root/reference/src/renderer/renderer.py:171-207; faces_per_pixel=1,
+blur_radius=0, perspective_correct=False) with a two-stage design:
+
+1. **Coverage** (non-differentiable, int32): for every pixel, the id of the
+   closest covering triangle. On TPU this is a Pallas kernel over 8x128 pixel
+   tiles with an XLA bounding-box binning prepass; a brute-force jnp
+   implementation doubles as the CPU fallback and the correctness oracle.
+
+2. **Interpolation** (differentiable, plain jnp): given the (stop-gradient)
+   pixel->face assignment, barycentric coordinates are recomputed in closed
+   form from the screen-space vertices, so gradients flow to vertices through
+   the barycentrics exactly as in PyTorch3D's hard rasterization (where
+   coverage is likewise non-differentiable and only bary/zbuf carry grads).
+
+NDC convention (SMIRK custom, see renderer.py:100-108,122-124 and
+masking.py:170-175): +x -> right (column), +y -> down (row), pixel (r, c)
+center at ((2c+1-W)/W, (2r+1-H)/H); z smaller = closer, visible z > 0 after
+the +10 offset. The reference's double x/y negation before PyTorch3D maps to
+the identity here.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+AREA_EPS = 1e-10  # degenerate-triangle guard
+BIG_Z = 1e10
+
+# Pallas tile geometry: one VPU-shaped tile of pixels per grid step.
+TILE_ROWS = 8
+TILE_COLS = 128
+
+
+def _pixel_centers(image_size: int, dtype=jnp.float32):
+    H = W = image_size
+    r = (2.0 * jnp.arange(H, dtype=dtype) + 1.0 - H) / H
+    c = (2.0 * jnp.arange(W, dtype=dtype) + 1.0 - W) / W
+    return c[None, :], r[:, None]  # x (1,W), y (H,1)
+
+
+def _edge_terms(xs, ys, fv):
+    """Signed sub-areas and denominator for barycentrics at points (xs, ys).
+
+    fv: (..., 3, 3) triangle vertices [x, y, z]. Broadcasts fv against xs/ys.
+    Returns (w0, w1, w2 unnormalized signed areas, denom signed face area*2).
+    """
+    x0, y0 = fv[..., 0, 0], fv[..., 0, 1]
+    x1, y1 = fv[..., 1, 0], fv[..., 1, 1]
+    x2, y2 = fv[..., 2, 0], fv[..., 2, 1]
+    # twice the signed areas of (p,v1,v2), (p,v2,v0), (p,v0,v1): same
+    # orientation as the full triangle for interior points of either winding.
+    e0 = (x1 - xs) * (y2 - ys) - (y1 - ys) * (x2 - xs)  # opposite v0
+    e1 = (x2 - xs) * (y0 - ys) - (y2 - ys) * (x0 - xs)  # opposite v1
+    e2 = (x0 - xs) * (y1 - ys) - (y0 - ys) * (x1 - xs)  # opposite v2
+    denom = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    return e0, e1, e2, denom
+
+
+# --------------------------------------------------------------------------
+# Stage 1a: brute-force jnp coverage (CPU fallback + oracle)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "row_chunk"))
+def rasterize_coverage_jnp(
+    face_verts: jnp.ndarray, image_size: int, row_chunk: int = 16
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """All-pairs pixel/triangle z-buffer. face_verts (B,F,3,3) -> (pix_to_face
+    (B,H,W) int32 (-1 empty), zbuf (B,H,W) f32 (BIG_Z empty))."""
+    B, F = face_verts.shape[:2]
+    H = W = image_size
+    xs, ys = _pixel_centers(image_size)
+
+    def per_image(fv):  # fv (F,3,3)
+        def per_rows(r0):
+            y = jax.lax.dynamic_slice_in_dim(ys, r0, row_chunk, axis=0)  # (rc,1)
+            # (rc,W,F)
+            e0, e1, e2, denom = _edge_terms(
+                xs[..., None], y[..., None], fv[None, None]
+            )
+            safe = jnp.where(jnp.abs(denom) < AREA_EPS, 1.0, denom)
+            w0, w1, w2 = e0 / safe, e1 / safe, e2 / safe
+            inside = (
+                (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (jnp.abs(denom) >= AREA_EPS)
+            )
+            z = w0 * fv[None, None, :, 0, 2] + w1 * fv[None, None, :, 1, 2] + w2 * fv[None, None, :, 2, 2]
+            z = jnp.where(inside, z, BIG_Z)
+            best = jnp.argmin(z, axis=-1)  # first min wins ties, like the kernel
+            bz = jnp.take_along_axis(z, best[..., None], axis=-1)[..., 0]
+            bf = jnp.where(bz >= BIG_Z, -1, best).astype(jnp.int32)
+            return bf, bz
+
+        rows = jnp.arange(0, H, row_chunk)
+        bf, bz = jax.lax.map(per_rows, rows)
+        return bf.reshape(H, W), bz.reshape(H, W)
+
+    return jax.vmap(per_image)(face_verts)
+
+
+# --------------------------------------------------------------------------
+# Stage 1b: Pallas TPU kernel with binning prepass
+# --------------------------------------------------------------------------
+
+
+def bin_faces(
+    face_verts: jnp.ndarray, image_size: int, capacity: int
+) -> jnp.ndarray:
+    """Assign triangles to pixel tiles by bounding box. -> (B, T, C) int32,
+    -1 padded, where T = (H/TILE_ROWS)*(Wpad/TILE_COLS).
+
+    Conservative (bbox) test; extra faces only cost kernel iterations.
+    """
+    B, F = face_verts.shape[:2]
+    H = W = image_size
+    ty = -(-H // TILE_ROWS)
+    tx = -(-W // TILE_COLS)
+    T = ty * tx
+
+    x = face_verts[..., 0]
+    y = face_verts[..., 1]
+    # NDC -> continuous pixel coords (pixel r center at r + 0.5)
+    px = (x * W + W - 1.0) / 2.0
+    py = (y * H + H - 1.0) / 2.0
+    xmin, xmax = px.min(-1), px.max(-1)  # (B,F)
+    ymin, ymax = py.min(-1), py.max(-1)
+
+    tile_r0 = (jnp.arange(ty) * TILE_ROWS).astype(jnp.float32)
+    tile_c0 = (jnp.arange(tx) * TILE_COLS).astype(jnp.float32)
+    # overlap iff bbox intersects tile pixel-center range
+    ov_r = (ymax[:, None, :] >= tile_r0[None, :, None]) & (
+        ymin[:, None, :] <= tile_r0[None, :, None] + TILE_ROWS - 1
+    )  # (B,ty,F)
+    ov_c = (xmax[:, None, :] >= tile_c0[None, :, None]) & (
+        xmin[:, None, :] <= tile_c0[None, :, None] + TILE_COLS - 1
+    )  # (B,tx,F)
+    overlap = ov_r[:, :, None, :] & ov_c[:, None, :, :]  # (B,ty,tx,F)
+    overlap = overlap.reshape(B, T, F)
+
+    pos = jnp.cumsum(overlap, axis=-1) - 1  # in-bin slot
+    slot = jnp.where(overlap & (pos < capacity), pos, capacity)
+    bins = jnp.full((B, T, capacity + 1), -1, jnp.int32)
+    b_idx = jnp.arange(B)[:, None, None]
+    t_idx = jnp.arange(T)[None, :, None]
+    f_idx = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[None, None, :], (B, T, F)
+    )
+    bins = bins.at[b_idx, t_idx, slot].set(f_idx, mode="drop")
+    return bins[:, :, :capacity]
+
+
+def _raster_kernel(bins_ref, fv_ref, face_out, z_out, *, H, W):
+    """One 8x128 pixel tile: z-buffer over this tile's binned faces.
+
+    bins_ref: (1,1,C) SMEM int32; fv_ref: (1,F,9) VMEM f32 (xyz xyz xyz);
+    face_out: (1,8,128) int32; z_out: (1,8,128) f32.
+    H, W are the TRUE image dims (padding columns produce values that the
+    caller crops away).
+    """
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    C = bins_ref.shape[2]
+
+    rows = jax.lax.broadcasted_iota(jnp.float32, (TILE_ROWS, TILE_COLS), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (TILE_ROWS, TILE_COLS), 1)
+    ys = (2.0 * (rows + ty * TILE_ROWS) + 1.0 - H) / H
+    xs = (2.0 * (cols + tx * TILE_COLS) + 1.0 - W) / W
+
+    def body(i, carry):
+        best_f, best_z = carry
+        fid = bins_ref[0, 0, i]
+        valid = fid >= 0
+        f = jnp.maximum(fid, 0)
+        v = fv_ref[0, f]  # (9,)
+        x0, y0, z0 = v[0], v[1], v[2]
+        x1, y1, z1 = v[3], v[4], v[5]
+        x2, y2, z2 = v[6], v[7], v[8]
+        e0 = (x1 - xs) * (y2 - ys) - (y1 - ys) * (x2 - xs)
+        e1 = (x2 - xs) * (y0 - ys) - (y2 - ys) * (x0 - xs)
+        e2 = (x0 - xs) * (y1 - ys) - (y0 - ys) * (x1 - xs)
+        denom = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        nondegen = jnp.abs(denom) >= AREA_EPS
+        safe = jnp.where(nondegen, denom, 1.0)
+        w0, w1, w2 = e0 / safe, e1 / safe, e2 / safe
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & nondegen & valid
+        z = w0 * z0 + w1 * z1 + w2 * z2
+        better = inside & (z < best_z)
+        return (
+            jnp.where(better, fid, best_f),
+            jnp.where(better, z, best_z),
+        )
+
+    init = (
+        jnp.full((TILE_ROWS, TILE_COLS), -1, jnp.int32),
+        jnp.full((TILE_ROWS, TILE_COLS), BIG_Z, jnp.float32),
+    )
+    best_f, best_z = jax.lax.fori_loop(0, C, body, init)
+    face_out[0] = best_f
+    z_out[0] = best_z
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "capacity", "interpret")
+)
+def rasterize_coverage_pallas(
+    face_verts: jnp.ndarray,
+    image_size: int,
+    capacity: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tiled Pallas coverage. Pads W to a multiple of 128, crops after."""
+    B, F = face_verts.shape[:2]
+    H = W = image_size
+    ty = -(-H // TILE_ROWS)
+    tx = -(-W // TILE_COLS)
+    Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
+
+    bins = bin_faces(face_verts, image_size, capacity)  # (B,T,C)
+    fv_flat = face_verts.reshape(B, F, 9)
+
+    grid = (B, ty, tx)
+    out_face, out_z = pl.pallas_call(
+        functools.partial(_raster_kernel, H=H, W=W),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, capacity),
+                lambda b, i, j: (b, i * tx + j, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, F, 9), lambda b, i, j: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, TILE_ROWS, TILE_COLS), lambda b, i, j: (b, i, j)
+            ),
+            pl.BlockSpec(
+                (1, TILE_ROWS, TILE_COLS), lambda b, i, j: (b, i, j)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hp, Wp), jnp.int32),
+            jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bins, fv_flat)
+    return out_face[:, :H, :W], out_z[:, :H, :W]
+
+
+def rasterize_coverage(
+    face_verts: jnp.ndarray,
+    image_size: int,
+    capacity: int = 512,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch: Pallas on TPU, brute-force jnp elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        return rasterize_coverage_pallas(face_verts, image_size, capacity)
+    return rasterize_coverage_jnp(face_verts, image_size)
+
+
+# --------------------------------------------------------------------------
+# Stage 2: differentiable barycentric interpolation
+# --------------------------------------------------------------------------
+
+
+def interpolate_attributes(
+    pix_to_face: jnp.ndarray,  # (B,H,W) int32, -1 = background
+    face_verts: jnp.ndarray,  # (B,F,3,3) NDC (differentiable input)
+    attributes: jnp.ndarray,  # (B,F,3,D) per-face-corner attributes
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (pixel_vals (B,H,W,D), mask (B,H,W,1)).
+
+    Equivalent to reference Renderer.rasterize attribute interpolation
+    (renderer.py:194-207): barycentric-weighted corner attributes, zeros on
+    background. Barycentrics are recomputed in closed form from `face_verts`
+    so d(pixel)/d(vertex_xy) matches PyTorch3D's hard-raster gradients.
+    """
+    B, H, W = pix_to_face.shape
+    fid = jnp.maximum(pix_to_face, 0)
+    mask = (pix_to_face >= 0)[..., None]
+
+    fv = jax.vmap(lambda v, f: v[f])(face_verts, fid.reshape(B, -1))
+    fv = fv.reshape(B, H, W, 3, 3)
+    attr = jax.vmap(lambda a, f: a[f])(attributes, fid.reshape(B, -1))
+    attr = attr.reshape(B, H, W, 3, -1)
+
+    xs, ys = _pixel_centers(H, fv.dtype)
+    e0, e1, e2, denom = _edge_terms(xs[None], ys[None], fv)
+    safe = jnp.where(jnp.abs(denom) < AREA_EPS, 1.0, denom)
+    bary = jnp.stack([e0 / safe, e1 / safe, e2 / safe], axis=-1)  # (B,H,W,3)
+
+    vals = jnp.einsum("bhwc,bhwcd->bhwd", bary, attr)
+    vals = jnp.where(mask, vals, 0.0)
+    return vals, mask.astype(vals.dtype)
+
+
+def rasterize(
+    face_verts: jnp.ndarray,
+    attributes: jnp.ndarray,
+    image_size: int,
+    capacity: int = 512,
+    use_pallas: Optional[bool] = None,
+):
+    """Full differentiable raster: coverage (stop-grad) + interpolation.
+
+    Returns (pixel_vals (B,H,W,D), mask (B,H,W,1), pix_to_face (B,H,W)).
+    """
+    pix_to_face, _ = rasterize_coverage(
+        jax.lax.stop_gradient(face_verts), image_size, capacity, use_pallas
+    )
+    vals, mask = interpolate_attributes(pix_to_face, face_verts, attributes)
+    return vals, mask, pix_to_face

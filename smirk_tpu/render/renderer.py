@@ -1,0 +1,112 @@
+"""Mesh renderer: orthographic projection + face-region cut + rasterize +
+shading, the TPU-native equivalent of reference src/renderer/renderer.py.
+
+Differences by design:
+* images are NHWC in [0,1] (TPU-friendly layout); the reference is NCHW;
+* the coverage mask is returned explicitly instead of being recomputed
+  downstream from `rendered_img == 0` (smirk_trainer.py:79,290);
+* everything is a pure function of (vertices, cam) given frozen constants, so
+  the whole render sits inside one jit with the encoders.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from smirk_tpu.assets import keep_vertices_and_update_faces
+from smirk_tpu.render import camera as camera_lib
+from smirk_tpu.render import geometry, shading
+from smirk_tpu.render import rasterizer as raster_lib
+
+Z_OFFSET = 10.0  # reference renderer.py:144: keep min z > rasterizer near
+
+
+class Renderer:
+    def __init__(
+        self,
+        bundle: Dict[str, np.ndarray],
+        render_full_head: bool = False,
+        image_size: int = 224,
+        bin_capacity: int = 512,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.image_size = image_size
+        self.bin_capacity = bin_capacity
+        self.use_pallas = use_pallas
+
+        faces = np.asarray(bundle["faces"], np.int64)
+        if render_full_head:
+            self.kept_vertices = np.arange(int(faces.max()) + 1)
+            render_faces = faces.astype(np.int32)
+        else:
+            # cut mesh to the FLAME 'face' region, 1787/5023 verts
+            # (reference renderer.py:70-76)
+            render_faces, self.kept_vertices = keep_vertices_and_update_faces(
+                faces, np.asarray(bundle["face_vertex_ids"])
+            )
+        self.faces = jnp.asarray(render_faces, jnp.int32)
+        self.num_render_verts = len(self.kept_vertices)
+        self._kept = jnp.asarray(self.kept_vertices, jnp.int32)
+
+        # constant gray albedo per corner (reference renderer.py:63,80-81)
+        colors = np.full((self.num_render_verts, 3), shading.GRAY_ALBEDO, np.float32)
+        self.face_colors = jnp.asarray(colors[render_faces])  # (F,3,3)
+
+    def project(self, vertices: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
+        """Full-mesh NDC vertices (y/z flipped), reference renderer.py:101-102."""
+        return camera_lib.orth_proj_ndc(vertices, cam)
+
+    def __call__(
+        self,
+        vertices: jnp.ndarray,  # (B,V,3) FLAME world-space vertices
+        cam: jnp.ndarray,  # (B,3) [scale, tx, ty]
+        landmarks: Optional[Dict[str, jnp.ndarray]] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        out = {}
+        transformed_vertices = self.project(vertices, cam)
+        out["transformed_vertices"] = transformed_vertices
+        if landmarks:
+            for key, lmk in landmarks.items():
+                out[key] = camera_lib.project_landmarks(lmk, cam)
+
+        rendered, mask, pix_to_face = self.render(vertices, transformed_vertices)
+        out["rendered_img"] = rendered
+        out["rendered_mask"] = mask
+        out["pix_to_face"] = pix_to_face
+        return out
+
+    def render(self, vertices: jnp.ndarray, transformed_vertices: jnp.ndarray):
+        """vertices + NDC vertices -> (shaded image (B,H,W,3), mask, p2f).
+
+        Mirrors reference Renderer.render (renderer.py:121-168): cut to face
+        region, z+10, vertex normals as interpolated attributes, 5-light
+        directional shading on gray albedo.
+        """
+        B = vertices.shape[0]
+        sub_v = vertices[:, self._kept]
+        sub_tv = transformed_vertices[:, self._kept]
+        sub_tv = jnp.concatenate(
+            [sub_tv[..., :2], sub_tv[..., 2:] + Z_OFFSET], axis=-1
+        )
+
+        normals = geometry.vertex_normals(sub_v, self.faces)  # (B,Vf,3)
+        face_normals = geometry.face_vertices(normals, self.faces)  # (B,F,3,3)
+        face_colors = jnp.broadcast_to(
+            self.face_colors[None], (B,) + self.face_colors.shape
+        )
+        attributes = jnp.concatenate([face_colors, face_normals], axis=-1)
+
+        face_verts = geometry.face_vertices(sub_tv, self.faces)  # (B,F,3,3)
+        pixel_vals, mask, pix_to_face = raster_lib.rasterize(
+            face_verts,
+            attributes,
+            self.image_size,
+            capacity=self.bin_capacity,
+            use_pallas=self.use_pallas,
+        )
+        albedo = pixel_vals[..., :3]
+        normal_images = pixel_vals[..., 3:6]
+        shade = shading.directional_shading(normal_images)
+        return albedo * shade, mask, pix_to_face

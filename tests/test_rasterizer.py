@@ -1,0 +1,189 @@
+"""Rasterizer correctness: coverage oracle, Pallas/jnp consistency,
+barycentric interpolation exactness, and gradient checks."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from smirk_tpu.render import rasterizer as R
+
+
+def make_face_verts(tris):
+    """list of 3x3 [[x,y,z],...] -> (1,F,3,3) jnp array."""
+    return jnp.asarray(np.asarray(tris, np.float32))[None]
+
+
+def oracle_coverage(face_verts, size):
+    """Slow numpy z-buffer oracle with the same NDC/pixel convention."""
+    fv = np.asarray(face_verts)[0]
+    p2f = np.full((size, size), -1, np.int64)
+    zb = np.full((size, size), R.BIG_Z, np.float64)
+    for r in range(size):
+        for c in range(size):
+            x = (2 * c + 1 - size) / size
+            y = (2 * r + 1 - size) / size
+            for f, v in enumerate(fv):
+                (x0, y0, z0), (x1, y1, z1), (x2, y2, z2) = v
+                denom = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+                if abs(denom) < R.AREA_EPS:
+                    continue
+                w0 = ((x1 - x) * (y2 - y) - (y1 - y) * (x2 - x)) / denom
+                w1 = ((x2 - x) * (y0 - y) - (y2 - y) * (x0 - x)) / denom
+                w2 = ((x0 - x) * (y1 - y) - (y0 - y) * (x1 - x)) / denom
+                if w0 >= 0 and w1 >= 0 and w2 >= 0:
+                    z = w0 * z0 + w1 * z1 + w2 * z2
+                    if z < zb[r, c]:
+                        zb[r, c] = z
+                        p2f[r, c] = f
+    return p2f, zb
+
+
+def random_mesh(rng, F=40, B=2):
+    v0 = rng.uniform(-1, 1, (B, F, 1, 3))
+    dv = rng.uniform(-0.4, 0.4, (B, F, 2, 3))
+    fv = np.concatenate([v0, v0 + dv], axis=2).astype(np.float32)
+    fv[..., 2] = rng.uniform(5, 15, (B, F, 3))
+    return jnp.asarray(fv)
+
+
+def test_coverage_matches_oracle():
+    tris = [
+        [[-0.5, -0.5, 5.0], [0.5, -0.5, 5.0], [0.0, 0.5, 5.0]],  # front
+        [[-0.6, -0.6, 8.0], [0.7, -0.4, 8.0], [0.1, 0.6, 8.0]],  # behind
+        [[0.2, 0.2, 2.0], [0.9, 0.2, 2.0], [0.5, 0.9, 2.0]],  # closer, offset
+    ]
+    fv = make_face_verts(tris)
+    p2f, zb = R.rasterize_coverage_jnp(fv, 32)
+    op2f, ozb = oracle_coverage(fv, 32)
+    assert (op2f >= 0).sum() > 50, "oracle must cover a nontrivial pixel set"
+    assert op2f[16, 16] == 0, "front face wins the z-test at the center"
+    np.testing.assert_array_equal(np.asarray(p2f)[0], op2f)
+    covered = op2f >= 0
+    np.testing.assert_allclose(
+        np.asarray(zb)[0][covered], ozb[covered], rtol=1e-5
+    )
+
+
+def test_pallas_interpret_matches_jnp():
+    rng = np.random.default_rng(1)
+    fv = random_mesh(rng, F=60, B=2)
+    size = 224  # exercises W padding to 256
+    p2f_j, zb_j = R.rasterize_coverage_jnp(fv, size)
+    p2f_p, zb_p = R.rasterize_coverage_pallas(
+        fv, size, capacity=64, interpret=True
+    )
+    assert (np.asarray(p2f_j) >= 0).mean() > 0.1, "non-trivial coverage"
+    np.testing.assert_array_equal(np.asarray(p2f_j), np.asarray(p2f_p))
+    cov = np.asarray(p2f_j) >= 0
+    np.testing.assert_allclose(
+        np.asarray(zb_j)[cov], np.asarray(zb_p)[cov], rtol=1e-5
+    )
+
+
+def test_bin_capacity_overflow_drops_extra_faces():
+    # 10 identical stacked triangles, capacity 4: kernel sees only first 4,
+    # front-most among them must win.
+    tris = [[[-0.9, -0.9, float(z)], [0.9, -0.9, float(z)], [0.0, 0.9, float(z)]]
+            for z in [9, 8, 7, 6, 5, 4, 3, 2, 1, 0.5]]
+    fv = make_face_verts(tris)
+    p2f, _ = R.rasterize_coverage_pallas(fv, 16, capacity=4, interpret=True)
+    assert np.asarray(p2f)[0, 8, 8] == 3  # z=6 is closest among first 4
+
+
+def test_interpolation_reproduces_affine_attribute():
+    # attribute = x + 2y at each corner => interpolated value must equal
+    # x + 2y at every covered pixel center (affine bary interpolation).
+    tris = [[[-0.8, -0.8, 5.0], [0.8, -0.8, 5.0], [0.0, 0.8, 5.0]]]
+    fv = make_face_verts(tris)
+    attr = fv[..., 0:1] + 2.0 * fv[..., 1:2]  # (1,F,3,1)
+    p2f, _ = R.rasterize_coverage_jnp(fv, 32)
+    vals, mask = R.interpolate_attributes(p2f, fv, attr)
+    size = 32
+    cs = (2 * np.arange(size) + 1 - size) / size
+    expected = cs[None, :] + 2.0 * cs[:, None]
+    m = np.asarray(mask)[0, ..., 0] > 0
+    assert m.sum() > 100, "triangle must cover a nontrivial pixel set"
+    np.testing.assert_allclose(
+        np.asarray(vals)[0, ..., 0][m], expected[m], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_gradients_flow_to_vertices():
+    tris = [[[-0.8, -0.8, 5.0], [0.8, -0.8, 5.0], [0.0, 0.8, 5.0]]]
+    fv = make_face_verts(tris)
+    attr = jnp.ones((1, 1, 3, 1))
+
+    def loss(fv_in):
+        vals, mask, _ = R.rasterize(fv_in, attr * fv_in[..., 2:3], 16,
+                                    use_pallas=False)
+        return jnp.sum(vals**2)
+
+    g = jax.grad(loss)(fv)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+    # finite-difference check on a z perturbation (coverage unchanged)
+    eps = 1e-3
+    fv_p = fv.at[0, 0, 0, 2].add(eps)
+    fv_m = fv.at[0, 0, 0, 2].add(-eps)
+    fd = (loss(fv_p) - loss(fv_m)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g)[0, 0, 0, 2], fd, rtol=1e-3)
+
+
+def test_gradient_xy_matches_fd_fixed_coverage():
+    # interior-only attribute gradient wrt a vertex x shift, small enough
+    # that pixel coverage is unchanged -> autodiff == finite difference
+    tris = [[[-0.9, -0.9, 5.0], [0.9, -0.9, 5.0], [0.0, 0.9, 5.0]]]
+    fv = make_face_verts(tris)
+    attr = jnp.asarray(np.arange(3, dtype=np.float32).reshape(1, 1, 3, 1))
+    p2f, _ = R.rasterize_coverage_jnp(fv, 16)
+
+    def loss(fv_in):
+        vals, _ = R.interpolate_attributes(p2f, fv_in, attr)
+        return jnp.sum(jnp.sin(vals))
+
+    g = jax.grad(loss)(fv)
+    eps = 1e-4
+    fd = (loss(fv.at[0, 0, 1, 0].add(eps)) - loss(fv.at[0, 0, 1, 0].add(-eps))) / (
+        2 * eps
+    )
+    np.testing.assert_allclose(np.asarray(g)[0, 0, 1, 0], fd, rtol=1e-2)
+
+
+def test_renderer_end_to_end_small():
+    """Full Renderer on the real face topology with synthetic blendshapes."""
+    from smirk_tpu import assets
+    from smirk_tpu.flame import FlameModel
+    from smirk_tpu.render.renderer import Renderer
+
+    bundle = assets.load_all()
+    flame = FlameModel(bundle)
+    rend = Renderer(bundle, image_size=64, use_pallas=False)
+
+    B = 2
+    params = {
+        "shape_params": jnp.zeros((B, 300)),
+        "expression_params": jnp.zeros((B, 50)),
+        "pose_params": jnp.zeros((B, 3)),
+        "jaw_params": jnp.zeros((B, 3)),
+        "eyelid_params": jnp.zeros((B, 2)),
+    }
+    out = flame(params)
+    assert out["vertices"].shape == (B, 5023, 3)
+    assert out["landmarks_fan"].shape == (B, 68, 3)
+    assert out["landmarks_mp"].shape == (B, 105, 3)
+
+    # center the face region in frame (the obj template is not
+    # origin-centered; the encoder's cam translation handles this in
+    # production)
+    face_v = np.asarray(out["vertices"])[:, rend.kept_vertices]
+    c = face_v.mean(axis=(0, 1))
+    cam = jnp.tile(jnp.asarray([[7.0, -c[0], -c[1]]]), (B, 1))
+    rout = rend(out["vertices"], cam, {"landmarks_fan": out["landmarks_fan"]})
+    img = np.asarray(rout["rendered_img"])
+    assert img.shape == (B, 64, 64, 3)
+    mask = np.asarray(rout["rendered_mask"])
+    assert 0.05 < mask.mean() < 0.95  # face covers part of the frame
+    assert img.max() > 0.1  # lit pixels exist
+    assert np.isfinite(img).all()
+    assert rout["landmarks_fan"].shape == (B, 68, 2)
