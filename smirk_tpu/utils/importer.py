@@ -1,0 +1,161 @@
+"""Torch-checkpoint importer: SMIRK `.pt` state dicts -> flax variable trees.
+
+Needed for the parity gate against the reference's released checkpoint
+(`SMIRK_em1.pt`, keys `smirk_encoder.*` / `smirk_generator.*`, saved by
+reference base_trainer.py:226-233). Works on plain tensor dicts, so torch is
+only needed to *load* the pickle (numpy dicts work too).
+
+Layout conversions (torch -> flax):
+  conv weight        OIHW -> HWIO
+  depthwise conv     (C,1,kh,kw) -> (kh,kw,1,C)       (same transpose)
+  conv transpose     (I,O,kh,kw) -> flip(kh,kw) + transpose -> (kh,kw,I,O)
+  linear weight      (O,I) -> (I,O)
+  batchnorm          weight/bias -> params.scale/bias;
+                     running_mean/var -> batch_stats.mean/var
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def convert_conv(w) -> np.ndarray:
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def convert_conv_transpose(w) -> np.ndarray:
+    # torch (in, out, kh, kw); flax ConvTranspose (lax.conv_transpose,
+    # transpose_kernel=False) expects the forward-conv-oriented kernel
+    # (kh, kw, in, out) *spatially flipped* relative to torch's.
+    return _np(w)[:, :, ::-1, ::-1].transpose(2, 3, 0, 1).copy()
+
+
+def convert_linear(w) -> np.ndarray:
+    return _np(w).T.copy()
+
+
+# generator block name shorthands used in the reference OrderedDicts
+# (smirk_generator.py:88-119: "enc1conv1" etc.)
+_GEN_SHORT = {
+    "encoder1": "enc1", "encoder2": "enc2", "encoder3": "enc3",
+    "encoder4": "enc4", "decoder1": "dec1", "decoder2": "dec2",
+    "decoder3": "dec3", "decoder4": "dec4", "bottleneck": "bottleneck",
+}
+# ResnetBlock conv_block Sequential indices (pad,conv,norm,relu,pad,conv,norm)
+_RES_IDX = {"conv1": 1, "norm1": 2, "conv2": 5, "norm2": 6}
+
+_LEAF_TO_TORCH = {
+    "kernel": "weight", "scale": "weight", "bias": "bias",
+    "mean": "running_mean", "var": "running_var",
+}
+
+
+def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
+    """Map a flax variable path (collection stripped) to the torch key."""
+    *mods, leaf = path
+    mods = list(mods)
+
+    # generator translations
+    if mods and mods[0] in _GEN_SHORT and len(mods) > 1:
+        short = _GEN_SHORT[mods[0]]
+        return f"{mods[0]}.{short}{mods[1]}.{_LEAF_TO_TORCH[leaf]}"
+    m = re.fullmatch(r"resnet_blocks_(\d+)", mods[0]) if mods else None
+    if m:
+        return (
+            f"resnet_blocks.{m.group(1)}.conv_block."
+            f"{_RES_IDX[mods[1]]}.{_LEAF_TO_TORCH[leaf]}"
+        )
+
+    # encoder translations: blocks_i_j -> blocks.i.j ; *_layers_0 -> *.0
+    out = []
+    for m_ in mods:
+        b = re.fullmatch(r"blocks_(\d+)_(\d+)", m_)
+        if b:
+            out.append(f"blocks.{b.group(1)}.{b.group(2)}")
+            continue
+        h = re.fullmatch(r"(.+_layers)_(\d+)", m_)
+        if h:
+            out.append(f"{h.group(1)}.{h.group(2)}")
+            continue
+        out.append(m_)
+    return ".".join(out + [_LEAF_TO_TORCH[leaf]])
+
+
+def _is_depthwise_or_conv(path) -> bool:
+    return path[-1] == "kernel"
+
+
+def import_state_dict(
+    state_dict: Mapping[str, Any],
+    flax_variables: Dict[str, Any],
+    prefix: str = "",
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Fill a flax variable tree (params + batch_stats template, e.g. from
+    `module.init`) with tensors from a torch state dict.
+
+    `prefix` is prepended to translated keys (e.g. "smirk_encoder.").
+    Returns a new variable tree of numpy arrays.
+    """
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_variables)[0]
+    treedef = jax.tree_util.tree_structure(flax_variables)
+
+    leaves = []
+    missing = []
+    for keypath, template in flat:
+        path = tuple(
+            k.key if hasattr(k, "key") else str(k) for k in keypath
+        )
+        collection, *modpath = path
+        tkey = prefix + flax_path_to_torch_key(tuple(modpath))
+        if tkey not in state_dict:
+            if strict:
+                missing.append(tkey)
+                leaves.append(template)
+                continue
+            leaves.append(template)
+            continue
+        t = state_dict[tkey]
+        leafname = modpath[-1]
+        is_transpose_conv = modpath[-2].startswith("upconv") if len(modpath) > 1 else False
+        if leafname == "kernel" and _np(t).ndim == 4:
+            w = convert_conv_transpose(t) if is_transpose_conv else convert_conv(t)
+        elif leafname == "kernel" and _np(t).ndim == 2:
+            w = convert_linear(t)
+        else:
+            w = _np(t)
+        if w.shape != template.shape:
+            raise ValueError(
+                f"shape mismatch for {tkey}: torch {w.shape} vs flax "
+                f"{template.shape} at {'/'.join(path)}"
+            )
+        leaves.append(w.astype(np.asarray(template).dtype))
+    if missing:
+        raise KeyError(f"missing torch keys (first 10): {missing[:10]}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def split_smirk_checkpoint(state_dict: Mapping[str, Any]):
+    """Split a joint SMIRK checkpoint into encoder / generator sub-dicts
+    (keys 'smirk_encoder.*', 'smirk_generator.*'; base_trainer.py:242-254)."""
+    enc = {
+        k[len("smirk_encoder."):]: v
+        for k, v in state_dict.items()
+        if k.startswith("smirk_encoder.")
+    }
+    gen = {
+        k[len("smirk_generator."):]: v
+        for k, v in state_dict.items()
+        if k.startswith("smirk_generator.")
+    }
+    return enc, gen

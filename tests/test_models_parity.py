@@ -1,0 +1,127 @@
+"""Numerics parity: flax models + torch-checkpoint importer vs torch refs.
+
+A randomly initialized torch model (with nontrivial BN running stats) is
+exported to a state dict, imported into the flax twins via
+smirk_tpu.utils.importer, and both are run on the same input. This validates
+architecture, TF-SAME padding, BN eps, layout conversions, and key mapping —
+the pieces the <1e-3 checkpoint-parity gate depends on.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from smirk_tpu.models.encoders import SmirkEncoder
+from smirk_tpu.models.generator import SmirkGenerator
+from smirk_tpu.models.mobilenetv3 import SMALL_MINIMAL, LARGE_MINIMAL
+from smirk_tpu.utils import importer
+
+from torch_ref import (
+    SmirkEncoderTorch,
+    SmirkGeneratorTorch,
+    randomize_bn_stats,
+)
+
+# tiny param counts for CI speed: still covers every block type/stride
+TINY_SMALL = [
+    [("ds", 16, 16, 2)],
+    [("ir", 24, 24, 2), ("ir", 32, 24, 1)],
+    [("cn", 0, 40, 1)],
+]
+TINY_LARGE = [
+    [("ds", 16, 16, 1)],
+    [("ir", 24, 24, 2)],
+    [("ir", 40, 32, 2), ("ir", 48, 32, 1)],
+    [("cn", 0, 56, 1)],
+]
+
+
+def _forward_pair(torch_model, flax_model, x_nchw, prefix=""):
+    torch_model.eval()
+    with torch.no_grad():
+        out_t = torch_model(torch.from_numpy(x_nchw))
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+
+    x_nhwc = jnp.asarray(x_nchw.transpose(0, 2, 3, 1))
+    import jax
+
+    variables = flax_model.init(jax.random.PRNGKey(0), x_nhwc)
+    variables = importer.import_state_dict(sd, variables, prefix=prefix)
+    out_f = flax_model.apply(variables, x_nhwc)
+    return out_t, out_f
+
+
+@pytest.mark.parametrize("arch_key", ["tiny_archs"])
+def test_encoder_parity(arch_key, monkeypatch):
+    # patch both implementations to the tiny arch tables
+    from smirk_tpu.models import mobilenetv3 as mnv3
+
+    monkeypatch.setitem(
+        mnv3.ARCHS, "tf_mobilenetv3_small_minimal_100", (TINY_SMALL, 40)
+    )
+    monkeypatch.setitem(
+        mnv3.ARCHS, "tf_mobilenetv3_large_minimal_100", (TINY_LARGE, 56)
+    )
+
+    gen = torch.Generator().manual_seed(0)
+    torch.manual_seed(0)
+    tmodel = SmirkEncoderTorch(TINY_SMALL, TINY_LARGE, n_shape=30, n_exp=10)
+    with torch.no_grad():
+        randomize_bn_stats(tmodel, gen)
+        # make zero-init heads nontrivial
+        for sub in (tmodel.shape_encoder.shape_layers,):
+            sub[0].weight.data.normal_(0, 0.05, generator=gen)
+            sub[0].bias.data.normal_(0, 0.05, generator=gen)
+
+    x = np.random.default_rng(0).random((2, 3, 64, 64), np.float32)
+    fmodel = SmirkEncoder(n_exp=10, n_shape=30)
+    out_t, out_f = _forward_pair(tmodel, fmodel, x)
+
+    for key in ["pose_params", "cam", "shape_params", "expression_params",
+                "eyelid_params", "jaw_params"]:
+        np.testing.assert_allclose(
+            np.asarray(out_f[key]),
+            out_t[key].numpy(),
+            rtol=1e-4,
+            atol=2e-5,
+            err_msg=key,
+        )
+
+
+def test_full_backbone_shapes():
+    """Real (non-tiny) arch tables produce timm's documented feature dims."""
+    import jax
+
+    from smirk_tpu.models.mobilenetv3 import MobileNetV3Features
+
+    x = jnp.zeros((1, 224, 224, 3))
+    for arch, dim, n_stages in [
+        ("tf_mobilenetv3_small_minimal_100", 576, 6),
+        ("tf_mobilenetv3_large_minimal_100", 960, 7),
+    ]:
+        m = MobileNetV3Features(arch)
+        variables = m.init(jax.random.PRNGKey(0), x)
+        feats = m.apply(variables, x)
+        assert len(feats) == n_stages
+        assert feats[-1].shape == (1, 7, 7, dim), arch
+
+
+def test_generator_parity():
+    torch.manual_seed(1)
+    gen = torch.Generator().manual_seed(1)
+    tmodel = SmirkGeneratorTorch(in_channels=6, out_channels=3,
+                                 init_features=8, res_blocks=2)
+    with torch.no_grad():
+        randomize_bn_stats(tmodel, gen)
+
+    x = np.random.default_rng(1).random((2, 6, 64, 64), np.float32)
+    fmodel = SmirkGenerator(in_channels=6, out_channels=3, init_features=8,
+                            res_blocks=2)
+    out_t, out_f = _forward_pair(tmodel, fmodel, x)
+    np.testing.assert_allclose(
+        np.asarray(out_f),
+        out_t.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4,
+        atol=2e-5,
+    )
