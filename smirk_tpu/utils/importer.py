@@ -55,7 +55,10 @@ _RES_IDX = {"conv1": 1, "norm1": 2, "conv2": 5, "norm2": 6}
 _LEAF_TO_TORCH = {
     "kernel": "weight", "scale": "weight", "bias": "bias",
     "mean": "running_mean", "var": "running_var",
+    "weight": "weight",  # PReLU slope param
 }
+
+_TRAILING_IDX = re.compile(r"_(\d+)(?=_|$)")
 
 
 def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
@@ -74,18 +77,10 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
             f"{_RES_IDX[mods[1]]}.{_LEAF_TO_TORCH[leaf]}"
         )
 
-    # encoder translations: blocks_i_j -> blocks.i.j ; *_layers_0 -> *.0
-    out = []
-    for m_ in mods:
-        b = re.fullmatch(r"blocks_(\d+)_(\d+)", m_)
-        if b:
-            out.append(f"blocks.{b.group(1)}.{b.group(2)}")
-            continue
-        h = re.fullmatch(r"(.+_layers)_(\d+)", m_)
-        if h:
-            out.append(f"{h.group(1)}.{h.group(2)}")
-            continue
-        out.append(m_)
+    # generic: any trailing _<digits> segments become torch list indices
+    # (blocks_0_1 -> blocks.0.1, layer1_0 -> layer1.0, downsample_0 ->
+    # downsample.0, network_2 -> network.2, features_14 -> features.14)
+    out = [_TRAILING_IDX.sub(r".\1", m_) for m_ in mods]
     return ".".join(out + [_LEAF_TO_TORCH[leaf]])
 
 
