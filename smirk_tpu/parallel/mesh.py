@@ -1,0 +1,51 @@
+"""Device mesh + sharding helpers for SPMD data-parallel training.
+
+The reference is single-process/single-GPU (SURVEY.md section 2.4: no
+torch.distributed anywhere); here data parallelism is the primary scaling
+strategy: a 1-D `data` mesh, batches sharded over it, parameters replicated.
+XLA inserts the gradient all-reduce over ICI from the sharding propagation —
+no explicit collectives needed in the step function.
+
+A `model` axis hook is included for future tensor parallelism (unused: the
+largest layer is a 960->300 dense).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch dict onto the mesh, sharded on the batch axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

@@ -1,0 +1,620 @@
+"""SMIRK training system: pure two-path train step, optax two-optimizer setup.
+
+Re-designs the reference trainer (src/base_trainer.py + src/smirk_trainer.py)
+as pure functions over an explicit TrainState, jitted end-to-end (encoders +
+FLAME + rasterizer + generator + both backward passes in ONE XLA program):
+
+* the mutable nn.Module with internal optimizers becomes
+  `train_step(state, batch, rng, parity) -> (state, metrics)`;
+* `requires_grad_` freeze toggling becomes `stop_gradient` on parameter
+  trees + conditional optimizer application; the even/odd batch alternation
+  (base_trainer.py:258-268) is the static `parity` argument (two compiled
+  variants);
+* per-iteration cosine schedules with per-epoch restarts
+  (base_trainer.py:53-66) are step-indexed optax schedules;
+* the reference's accidental per-epoch reset of the generator's Adam state
+  (base_trainer.py:58-62 checks `fuse_generator_optimizer` but the attribute
+  is `smirk_generator_optimizer`) is consciously FIXED: optimizer state
+  persists across epochs.
+
+Frozen teachers (VGG, EMOCA emotion net, MICA) are optional variable trees;
+when None their losses are 0 (matching configs with zero weights).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from smirk_tpu import masking as masking_lib
+from smirk_tpu.config import Config
+from smirk_tpu.flame import FlameModel
+from smirk_tpu.losses import landmark_mse, masked_landmark_mse, param_regularization
+from smirk_tpu.models.emoca_resnet import emotion_embedding_distance
+from smirk_tpu.models.encoders import SmirkEncoder
+from smirk_tpu.models.generator import SmirkGenerator
+from smirk_tpu.models.mica import Mica
+from smirk_tpu.models.vgg import perceptual_loss
+from smirk_tpu.render.renderer import Renderer
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    encoder: Any  # {'params', 'batch_stats'}
+    generator: Any  # {'params', 'batch_stats'} or None
+    base_encoder: Any  # frozen copy for regularization/viz, or None
+    enc_opt: Any
+    gen_opt: Any
+
+
+def _cosine_epoch_restart(peak: float, steps_per_epoch: int, eta_min_frac=0.01):
+    """torch CosineAnnealingLR(T_max=steps/epoch), restarted every epoch
+    (reference train.py:48 + base_trainer.py:53-66)."""
+    eta_min = eta_min_frac * peak
+
+    def sched(step):
+        t = jnp.mod(step, steps_per_epoch)
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * t / steps_per_epoch))
+        return eta_min + (peak - eta_min) * cos
+
+    return sched
+
+
+class SmirkSystem:
+    """Static module bundle + the jitted train/eval step functions."""
+
+    def __init__(
+        self,
+        config: Config,
+        bundle: Dict[str, np.ndarray],
+        *,
+        steps_per_epoch: int = 1000,
+        vgg_variables=None,
+        emotion_variables=None,
+        mica_variables=None,
+        templates: Optional[np.ndarray] = None,
+        use_pallas: Optional[bool] = None,
+        generator_features: int = 32,
+        generator_res_blocks: int = 5,
+    ):
+        self.config = config
+        c = config
+        self.flame = FlameModel(
+            bundle, n_shape=c.arch.num_shape, n_exp=c.arch.num_expression
+        )
+        self.renderer = Renderer(
+            bundle,
+            render_full_head=c.render.full_head,
+            image_size=c.image_size,
+            use_pallas=use_pallas,
+        )
+        self.encoder = SmirkEncoder(
+            n_exp=c.arch.num_expression,
+            n_shape=c.arch.num_shape,
+            backbone_pose=c.arch.backbone_pose,
+            backbone_shape=c.arch.backbone_shape,
+            backbone_expression=c.arch.backbone_expression,
+        )
+        self.generator = (
+            SmirkGenerator(in_channels=6, out_channels=3,
+                           init_features=generator_features,
+                           res_blocks=generator_res_blocks)
+            if c.arch.enable_fuse_generator
+            else None
+        )
+        self.face_probabilities = jnp.asarray(bundle["face_probabilities"])
+        self.vgg_variables = vgg_variables
+        self.emotion_variables = emotion_variables
+        self.mica_variables = mica_variables
+        self.mica = Mica() if mica_variables is not None else None
+        # FaMoS expression templates stacked (T, >= n_exp); zeros fallback
+        if templates is None:
+            templates = np.zeros((1, c.arch.num_expression), np.float32)
+        self.templates = jnp.asarray(
+            templates[:, : c.arch.num_expression], jnp.float32
+        )
+
+        self.num_mask_points = int(c.train.mask_ratio * c.image_size**2)
+
+        # --- optimizers (reference base_trainer.py:28-66) ---
+        # per-submodule trainability (reference picks param groups,
+        # base_trainer.py:43-51); frozen submodules get zero updates
+        enc_peak = 0.25 * c.train.lr
+        self.enc_tx = optax.multi_transform(
+            {
+                "train": optax.adam(_cosine_epoch_restart(enc_peak, steps_per_epoch)),
+                "freeze": optax.set_to_zero(),
+            },
+            self._encoder_labels,
+        )
+        self.gen_tx = optax.adam(
+            _cosine_epoch_restart(c.train.lr, steps_per_epoch), b1=0.5, b2=0.999
+        )
+
+        self._train_step = jax.jit(
+            self._step_impl, static_argnames=("parity", "train")
+        )
+
+    # ---------------------------- state setup ----------------------------
+
+    def _encoder_labels(self, params):
+        flags = {
+            "pose_encoder": self.config.train.optimize_pose,
+            "shape_encoder": self.config.train.optimize_shape,
+            "expression_encoder": self.config.train.optimize_expression,
+        }
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: "train" if flags.get(k, False) else "freeze", v
+            )
+            for k, v in params.items()
+        }
+
+    def init_state(self, rng) -> TrainState:
+        img = jnp.zeros((1, self.config.image_size, self.config.image_size, 3))
+        enc_vars = self.encoder.init(rng, img)
+        enc_vars = {"params": enc_vars["params"],
+                    "batch_stats": enc_vars["batch_stats"]}
+        gen_vars = None
+        if self.generator is not None:
+            gv = self.generator.init(rng, jnp.zeros(
+                (1, self.config.image_size, self.config.image_size, 6)))
+            gen_vars = {"params": gv["params"], "batch_stats": gv["batch_stats"]}
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            encoder=enc_vars,
+            generator=gen_vars,
+            base_encoder=jax.tree_util.tree_map(lambda x: x, enc_vars),
+            enc_opt=self.enc_tx.init(enc_vars["params"]),
+            gen_opt=self.gen_tx.init(gen_vars["params"]) if gen_vars else None,
+        )
+
+    # ------------------------- module application -------------------------
+
+    def _apply_encoder(self, enc_vars, img, train):
+        if train:
+            out, mut = self.encoder.apply(
+                enc_vars, img, train=True, mutable=["batch_stats"]
+            )
+            return out, mut["batch_stats"]
+        return self.encoder.apply(enc_vars, img, train=False), enc_vars["batch_stats"]
+
+    def _apply_generator(self, gen_vars, x, train):
+        if train:
+            out, mut = self.generator.apply(
+                gen_vars, x, train=True, mutable=["batch_stats"]
+            )
+            return out, mut["batch_stats"]
+        return self.generator.apply(gen_vars, x, train=False), gen_vars["batch_stats"]
+
+    # ------------------------------- path 1 -------------------------------
+
+    def _loss1(self, enc_params, gen_params, enc_stats, gen_stats, batch, rng,
+               train, base_encoder=None):
+        """First path: landmarks + regularization + masked reconstruction.
+
+        Reference smirk_trainer.py:34-179.
+        """
+        c = self.config
+        w = c.train.loss_weights
+        img = batch["img"]
+        B = img.shape[0]
+        enc_vars = {"params": enc_params, "batch_stats": enc_stats}
+
+        enc_out, enc_stats = self._apply_encoder(enc_vars, img, train)
+        flame_out = self.flame(enc_out)
+        rend = self.renderer(
+            flame_out["vertices"],
+            enc_out["cam"],
+            {
+                "landmarks_fan": flame_out["landmarks_fan"],
+                "landmarks_mp": flame_out["landmarks_mp"],
+            },
+        )
+
+        losses = {}
+        losses["landmark_loss_fan"] = masked_landmark_mse(
+            rend["landmarks_fan"], batch["landmarks_fan"][..., :2],
+            batch["flag_landmarks_fan"],
+        )
+        losses["landmark_loss_mp"] = landmark_mse(
+            rend["landmarks_mp"], batch["landmarks_mp"][..., :2]
+        )
+
+        # regularization toward the frozen base model or zeros
+        # (smirk_trainer.py:64-72)
+        if c.train.use_base_model_for_regularization and base_encoder is not None:
+            base_out = self.encoder.apply(
+                jax.lax.stop_gradient(base_encoder), img, train=False
+            )
+            base_out = jax.lax.stop_gradient(base_out)
+        else:
+            base_out = {
+                "expression_params": jnp.zeros((B, c.arch.num_expression)),
+                "shape_params": jnp.zeros((B, c.arch.num_shape)),
+                "jaw_params": jnp.zeros((B, 3)),
+            }
+        losses["expression_regularization"] = param_regularization(
+            enc_out["expression_params"], base_out["expression_params"]
+        )
+        losses["shape_regularization"] = param_regularization(
+            enc_out["shape_params"], base_out["shape_params"]
+        )
+        losses["jaw_regularization"] = param_regularization(
+            enc_out["jaw_params"], base_out["jaw_params"]
+        )
+
+        recon_img = None
+        masked_img = None
+        if self.generator is not None:
+            gen_vars = {"params": gen_params, "batch_stats": gen_stats}
+            kpts, kmask = jax.random.split(rng)
+            npoints, _ = masking_lib.sample_mesh_points(
+                kpts,
+                rend["transformed_vertices"],
+                self.flame.faces,
+                self.face_probabilities,
+                self.num_mask_points,
+                c.image_size,
+            )
+            extra = masking_lib.transfer_pixels(img, npoints, npoints)
+            masked_img = masking_lib.compose_mask(
+                kmask, img, batch["mask"], extra,
+                dilation_radius=c.train.mask_dilation_radius,
+                rendered_mask=rend["rendered_mask"],
+            )
+            gen_in = jnp.concatenate([rend["rendered_img"], masked_img], -1)
+            recon_img, gen_stats = self._apply_generator(gen_vars, gen_in, train)
+
+            rec_err = jnp.abs(recon_img - img)
+            losses["reconstruction_loss"] = rec_err.mean()
+            if self.vgg_variables is not None and w.perceptual_vgg_loss > 0:
+                losses["perceptual_vgg_loss"] = perceptual_loss(
+                    self.vgg_variables, recon_img, img
+                )
+            else:
+                losses["perceptual_vgg_loss"] = 0.0
+            if self.emotion_variables is not None and w.emotion_loss > 0:
+                # re-forward with generator params frozen + eval-mode BN
+                # (smirk_trainer.py:108-119)
+                recon_p = self.generator.apply(
+                    jax.lax.stop_gradient(gen_vars), gen_in, train=False
+                )
+                losses["emotion_loss"] = emotion_embedding_distance(
+                    self.emotion_variables, recon_p, img, metric="l2"
+                ).mean()
+            else:
+                losses["emotion_loss"] = 0.0
+        else:
+            losses["reconstruction_loss"] = 0.0
+            losses["perceptual_vgg_loss"] = 0.0
+            losses["emotion_loss"] = 0.0
+
+        if self.mica is not None and w.mica_loss > 0:
+            mica_shape = jax.lax.stop_gradient(
+                self.mica.apply(self.mica_variables, batch["img_mica"])
+            )[..., : c.arch.num_shape]
+            losses["mica_loss"] = jnp.mean(
+                (enc_out["shape_params"] - mica_shape) ** 2
+            )
+        else:
+            losses["mica_loss"] = 0.0
+
+        shape_losses = (
+            losses["shape_regularization"] * w.shape_regularization
+            + losses["mica_loss"] * w.mica_loss
+        )
+        expression_losses = (
+            losses["expression_regularization"] * w.expression_regularization
+            + losses["jaw_regularization"] * w.jaw_regularization
+        )
+        landmark_losses = (
+            losses["landmark_loss_fan"] + losses["landmark_loss_mp"]
+        ) * w.landmark_loss
+        fuse_losses = (
+            losses["perceptual_vgg_loss"] * w.perceptual_vgg_loss
+            + losses["reconstruction_loss"] * w.reconstruction_loss
+            + losses["emotion_loss"] * w.emotion_loss
+        )
+        total = landmark_losses
+        if c.train.optimize_shape:
+            total = total + shape_losses
+        if c.train.optimize_expression:
+            total = total + expression_losses
+        if self.generator is not None:
+            total = total + fuse_losses
+
+        aux = {
+            "losses": losses,
+            "enc_stats": enc_stats,
+            "gen_stats": gen_stats if self.generator is not None else None,
+            "encoder_output": jax.lax.stop_gradient(enc_out),
+            "transformed_vertices": jax.lax.stop_gradient(
+                rend["transformed_vertices"]
+            ),
+            "rendered_img": jax.lax.stop_gradient(rend["rendered_img"]),
+            "masked_img": masked_img,
+            "reconstructed_img": (
+                jax.lax.stop_gradient(recon_img) if recon_img is not None else None
+            ),
+        }
+        return total, aux
+
+    # ------------------------------- path 2 -------------------------------
+
+    def _augment_feats(self, rng, feats, Ke):
+        """Parameter augmentation for the cycle path.
+
+        Reference smirk_trainer.py:199-248: 4 random groups (random
+        expressions / batch permutation / template injection / zero), jaw &
+        eyelid jitter for all. Static group sizes from a permutation split.
+        """
+        c = self.config
+        D = feats["expression_params"].shape[1]
+        n = feats["expression_params"].shape[0]  # Ke * B already tiled
+        q = n // 4
+        ks = jax.random.split(rng, 16)
+        perm = jax.random.permutation(ks[0], n)
+        g0, g1, g2, g3 = perm[:q], perm[q:2 * q], perm[2 * q:3 * q], perm[3 * q:]
+
+        expr = feats["expression_params"]
+        # group 0: random expressions
+        pm = jax.random.bernoulli(ks[1], 0.5, (q, D)).astype(expr.dtype)
+        new0 = (
+            jax.random.normal(ks[2], (q, D))
+            * (1 + 2 * jax.random.uniform(ks[3], (q, 1)))
+            * pm
+            + expr[g0]
+        )
+        new0 = jnp.clip(new0, -4.0, 4.0) + 0.2 * jax.random.uniform(
+            ks[4], (q, 1)
+        ) * jax.random.normal(ks[5], (q, D))
+        expr = expr.at[g0].set(new0)
+        # group 1: scaled batch permutation + noise
+        inner = jax.random.permutation(ks[6], q)
+        new1 = (0.25 + 1.25 * jax.random.uniform(ks[7], (q, 1))) * expr[g1][inner] \
+            + 0.2 * jax.random.uniform(ks[8], (q, 1)) * jax.random.normal(ks[9], (q, D))
+        expr = expr.at[g1].set(new1)
+        # group 2: template injection + noise
+        tidx = jax.random.randint(ks[10], (q,), 0, self.templates.shape[0])
+        scale2 = 0.25 + 1.25 * jax.random.uniform(ks[11], (q, 1))
+        new2 = scale2 * self.templates[tidx] + 0.2 * jax.random.uniform(
+            ks[12], (q, 1)
+        ) * jax.random.normal(ks[13], (q, D))
+        expr = expr.at[g2].set(new2)
+
+        # jaw jitter for all rows
+        jaw = feats["jaw_params"]
+        scale_mask = jnp.asarray([1.0, 0.1, 0.1])[None] * jax.random.bernoulli(
+            ks[14], 0.5, (n, 1)
+        ).astype(jaw.dtype)
+        jaw = jaw + jax.random.normal(ks[15], jaw.shape) * 0.2 * scale_mask
+        jaw = jaw.at[..., 0].set(jnp.clip(jaw[..., 0], 0.0, 0.5))
+
+        kk = jax.random.split(ks[0], 4)  # fresh keys for the tail ops
+        eyelid = feats.get("eyelid_params")
+        if c.arch.use_eyelids and eyelid is not None:
+            eyelid = jnp.clip(
+                eyelid + (-1 + 2 * jax.random.uniform(kk[0], eyelid.shape)) * 0.25,
+                0.0, 1.0,
+            )
+
+        # group 3: zero expression (+noise), zero jaw, random eyelids
+        noise3 = 0.2 * jax.random.uniform(kk[1], (g3.shape[0], 1)) * \
+            jax.random.normal(kk[2], (g3.shape[0], D))
+        expr = expr.at[g3].set(noise3)
+        jaw = jaw.at[g3].set(0.0)
+        if c.arch.use_eyelids and eyelid is not None:
+            eyelid = eyelid.at[g3].set(
+                jax.random.uniform(kk[3], (g3.shape[0], eyelid.shape[1]))
+            )
+
+        out = dict(feats)
+        out["expression_params"] = expr
+        out["jaw_params"] = jaw
+        if eyelid is not None:
+            out["eyelid_params"] = eyelid
+        return jax.lax.stop_gradient(out)
+
+    def _loss2(self, enc_params, gen_params, enc_stats, gen_stats, batch,
+               enc_out, trans_verts, rng, freeze_encoder, freeze_generator):
+        """Cycle path (reference smirk_trainer.py:184-332)."""
+        c = self.config
+        img = batch["img"]
+        B, H, W, C = img.shape
+        Ke = c.train.Ke
+        k_aug, k_p1, k_mask, _ = jax.random.split(rng, 4)
+
+        feats = {
+            k: jnp.concatenate([jax.lax.stop_gradient(v)] * Ke, 0)
+            for k, v in enc_out.items()
+        }
+        feats = self._augment_feats(k_aug, feats, Ke)
+
+        # no-grad renders: original (for point sampling) + augmented
+        flame2 = self.flame(feats)
+        rend2 = self.renderer(flame2["vertices"], feats["cam"])
+        rendered_img_2nd = jax.lax.stop_gradient(rend2["rendered_img"])
+
+        points1, coords = masking_lib.sample_mesh_points(
+            k_p1, trans_verts, self.flame.faces, self.face_probabilities,
+            self.num_mask_points, c.image_size,
+        )
+        coords = {
+            "sampled_faces_indices": jnp.concatenate(
+                [coords["sampled_faces_indices"]] * Ke, 0),
+            "barycentric_coords": jnp.concatenate(
+                [coords["barycentric_coords"]] * Ke, 0),
+        }
+        points2, _ = masking_lib.sample_mesh_points(
+            k_p1, rend2["transformed_vertices"], self.flame.faces,
+            self.face_probabilities, self.num_mask_points, c.image_size,
+            coords=coords,
+        )
+        img_k = jnp.concatenate([img] * Ke, 0)
+        extra = masking_lib.transfer_pixels(
+            img_k, jnp.concatenate([points1] * Ke, 0), points2
+        )
+        masked_img_2nd = masking_lib.compose_mask(
+            k_mask, img_k, jnp.concatenate([batch["mask"]] * Ke, 0), extra,
+            dilation_radius=c.train.mask_dilation_radius,
+            rendered_mask=jax.lax.stop_gradient(rend2["rendered_mask"]),
+            extra_noise=True, random_mask=0.005,
+        )
+
+        gen_in = jax.lax.stop_gradient(
+            jnp.concatenate([rendered_img_2nd, masked_img_2nd], -1)
+        )
+        if freeze_generator:
+            recon = self.generator.apply(
+                jax.lax.stop_gradient(
+                    {"params": gen_params, "batch_stats": gen_stats}),
+                gen_in, train=False,
+            )
+            recon = jax.lax.stop_gradient(recon)
+        else:
+            recon, gen_stats = self._apply_generator(
+                {"params": gen_params, "batch_stats": gen_stats}, gen_in, True
+            )
+
+        if freeze_encoder:
+            recon_feats = self.encoder.apply(
+                {"params": jax.lax.stop_gradient(enc_params),
+                 "batch_stats": enc_stats},
+                recon, train=False,
+            )
+        else:
+            recon_feats, enc_stats = self._apply_encoder(
+                {"params": enc_params, "batch_stats": enc_stats}, recon, True
+            )
+
+        cycle = landmark_mse(recon_feats["expression_params"],
+                             feats["expression_params"]) \
+            + 10.0 * landmark_mse(recon_feats["jaw_params"], feats["jaw_params"])
+        if c.arch.use_eyelids:
+            cycle = cycle + 10.0 * landmark_mse(
+                recon_feats["eyelid_params"], feats["eyelid_params"]
+            )
+        if not freeze_generator:
+            cycle = cycle + landmark_mse(
+                recon_feats["shape_params"], feats["shape_params"]
+            )
+
+        total = cycle * c.train.loss_weights.cycle_loss
+        aux = {
+            "losses": {"cycle_loss": cycle},
+            "enc_stats": enc_stats,
+            "gen_stats": gen_stats,
+        }
+        return total, aux
+
+    # ------------------------------ full step ------------------------------
+
+    def _step_impl(self, state: TrainState, batch, rng, parity: int,
+                   train: bool):
+        c = self.config
+        rng1, rng2 = jax.random.split(jax.random.fold_in(rng, state.step))
+        enc_params = state.encoder["params"]
+        enc_stats = state.encoder["batch_stats"]
+        gen_params = state.generator["params"] if state.generator else None
+        gen_stats = state.generator["batch_stats"] if state.generator else None
+
+        if not train:
+            _, aux1 = self._loss1(
+                enc_params, gen_params, enc_stats, gen_stats, batch, rng1,
+                train=False, base_encoder=state.base_encoder,
+            )
+            metrics = dict(aux1["losses"])
+            return state, metrics, aux1
+
+        (loss1, aux1), grads = jax.value_and_grad(
+            self._loss1, argnums=(0, 1), has_aux=True
+        )(enc_params, gen_params, enc_stats, gen_stats, batch, rng1, True,
+          state.base_encoder)
+        enc_stats = aux1["enc_stats"]
+        gen_stats = aux1["gen_stats"]
+
+        enc_updates, enc_opt = self.enc_tx.update(
+            grads[0], state.enc_opt, enc_params
+        )
+        enc_params = optax.apply_updates(enc_params, enc_updates)
+        gen_opt = state.gen_opt
+        if self.generator is not None:
+            gen_updates, gen_opt = self.gen_tx.update(
+                grads[1], state.gen_opt, gen_params
+            )
+            gen_params = optax.apply_updates(gen_params, gen_updates)
+
+        metrics = dict(aux1["losses"])
+        metrics["loss_first_path"] = loss1
+
+        if (
+            c.train.loss_weights.cycle_loss > 0
+            and self.generator is not None
+        ):
+            freeze_encoder = parity % 2 == 0  # base_trainer.py:267
+            freeze_generator = not freeze_encoder
+
+            (loss2, aux2), grads2 = jax.value_and_grad(
+                self._loss2, argnums=(0, 1), has_aux=True
+            )(
+                enc_params, gen_params, enc_stats, gen_stats, batch,
+                aux1["encoder_output"], aux1["transformed_vertices"], rng2,
+                freeze_encoder, freeze_generator,
+            )
+            enc_stats = aux2["enc_stats"]
+            gen_stats = aux2["gen_stats"]
+
+            if not freeze_encoder:
+                enc_updates, enc_opt = self.enc_tx.update(
+                    grads2[0], enc_opt, enc_params
+                )
+                enc_params = optax.apply_updates(enc_params, enc_updates)
+            if not freeze_generator:
+                # generator grad clip 0.1 (smirk_trainer.py:377-379)
+                g = grads2[1]
+                gnorm = optax.global_norm(g)
+                scale = jnp.minimum(1.0, 0.1 / jnp.maximum(gnorm, 1e-12))
+                g = jax.tree_util.tree_map(lambda t: t * scale, g)
+                gen_updates, gen_opt = self.gen_tx.update(g, gen_opt, gen_params)
+                gen_params = optax.apply_updates(gen_params, gen_updates)
+            metrics.update(aux2["losses"])
+            metrics["loss_second_path"] = loss2
+
+        new_state = state.replace(
+            step=state.step + 1,
+            encoder={"params": enc_params, "batch_stats": enc_stats},
+            generator=(
+                {"params": gen_params, "batch_stats": gen_stats}
+                if self.generator is not None
+                else None
+            ),
+            enc_opt=enc_opt,
+            gen_opt=gen_opt,
+        )
+        return new_state, metrics, aux1
+
+    def train_step(self, state, batch, rng, parity: int):
+        return self._train_step(state, batch, rng, parity=parity % 2, train=True)
+
+    def eval_step(self, state, batch, rng):
+        return self._train_step(state, batch, rng, parity=0, train=False)
+
+    # ------------------------------ inference ------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def infer(self, encoder_vars, img):
+        """image batch -> params + geometry + render (demo.py:107-114)."""
+        enc_out = self.encoder.apply(encoder_vars, img, train=False)
+        flame_out = self.flame(enc_out)
+        rend = self.renderer(
+            flame_out["vertices"], enc_out["cam"],
+            {"landmarks_fan": flame_out["landmarks_fan"],
+             "landmarks_mp": flame_out["landmarks_mp"]},
+        )
+        return {**enc_out, **flame_out, **rend}

@@ -1,0 +1,121 @@
+"""Training-step smoke tests: both paths, freeze schedule, eval, multi-chip.
+
+Tiny backbones + 32px images keep this fast on CPU while exercising the full
+graph: encoders -> FLAME (real topology, synthetic blendshapes) -> rasterize
+-> masking -> generator -> two losses -> two optimizers.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from smirk_tpu import assets
+from smirk_tpu.config import Config, ArchConfig, TrainConfig, LossWeights
+from smirk_tpu.train import SmirkSystem
+
+TINY_SMALL = [[("ds", 16, 16, 2)], [("ir", 24, 24, 2)], [("cn", 0, 40, 1)]]
+TINY_LARGE = [[("ds", 16, 16, 1)], [("ir", 24, 24, 2)], [("cn", 0, 48, 1)]]
+
+S = 32
+B = 4
+
+
+@pytest.fixture(scope="module")
+def tiny_system():
+    from smirk_tpu.models import mobilenetv3 as mnv3
+
+    mnv3.ARCHS["tf_mobilenetv3_small_minimal_100"] = (TINY_SMALL, 40)
+    mnv3.ARCHS["tf_mobilenetv3_large_minimal_100"] = (TINY_LARGE, 48)
+
+    cfg = Config(
+        image_size=S,
+        arch=ArchConfig(num_expression=10, num_shape=30),
+        train=TrainConfig(
+            batch_size=B,
+            mask_ratio=0.02,
+            mask_dilation_radius=3,
+            Ke=1,
+            loss_weights=LossWeights(perceptual_vgg_loss=0.0, emotion_loss=0.0,
+                                     mica_loss=0.0),
+        ),
+    )
+    bundle = assets.load_all()
+    system = SmirkSystem(
+        cfg, bundle, steps_per_epoch=10, use_pallas=False,
+        generator_features=8, generator_res_blocks=1,
+    )
+    state = system.init_state(jax.random.PRNGKey(0))
+    return system, state
+
+
+def make_batch(rng, b=B, s=S):
+    return {
+        "img": jnp.asarray(rng.random((b, s, s, 3), np.float32)),
+        "landmarks_fan": jnp.asarray(
+            rng.uniform(-1, 1, (b, 68, 2)).astype(np.float32)),
+        "flag_landmarks_fan": jnp.asarray(
+            (np.arange(b) % 4 != 2)),  # some samples lack FAN labels
+        "landmarks_mp": jnp.asarray(
+            rng.uniform(-1, 1, (b, 105, 2)).astype(np.float32)),
+        "mask": jnp.asarray((rng.random((b, s, s, 1)) > 0.5).astype(np.float32)),
+        "img_mica": jnp.zeros((b, 112, 112, 3), jnp.float32),
+    }
+
+
+def test_train_step_both_parities(tiny_system):
+    system, state = tiny_system
+    rng = jax.random.PRNGKey(1)
+    batch = make_batch(np.random.default_rng(0))
+
+    s1, metrics1, _ = system.train_step(state, batch, rng, parity=0)
+    assert int(s1.step) == 1
+    for k in ("loss_first_path", "loss_second_path", "cycle_loss",
+              "landmark_loss_mp", "reconstruction_loss"):
+        assert np.isfinite(float(metrics1[k])), k
+
+    s2, metrics2, _ = system.train_step(s1, batch, rng, parity=1)
+    assert int(s2.step) == 2
+    assert np.isfinite(float(metrics2["loss_second_path"]))
+
+    # expression encoder must have moved; pose/shape are frozen by config
+    def delta(a, b, key):
+        fa = jax.tree_util.tree_leaves(a.encoder["params"][key])
+        fb = jax.tree_util.tree_leaves(b.encoder["params"][key])
+        return sum(float(jnp.abs(x - y).sum()) for x, y in zip(fa, fb))
+
+    assert delta(state, s2, "expression_encoder") > 0
+    assert delta(state, s2, "pose_encoder") == 0  # optimize_pose=False
+    assert delta(state, s2, "shape_encoder") == 0  # optimize_shape=False
+    # generator trains in path1 every step
+    ga = jax.tree_util.tree_leaves(state.generator["params"])
+    gb = jax.tree_util.tree_leaves(s2.generator["params"])
+    assert sum(float(jnp.abs(x - y).sum()) for x, y in zip(ga, gb)) > 0
+
+
+def test_eval_step_no_mutation(tiny_system):
+    system, state = tiny_system
+    batch = make_batch(np.random.default_rng(2))
+    s1, metrics, _ = system.eval_step(state, batch, jax.random.PRNGKey(2))
+    assert int(s1.step) == int(state.step)
+    a = jax.tree_util.tree_leaves(state.encoder)
+    b = jax.tree_util.tree_leaves(s1.encoder)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+    assert np.isfinite(float(metrics["landmark_loss_mp"]))
+
+
+def test_train_step_multichip(tiny_system):
+    """Batch sharded over an 8-device CPU mesh; params replicated."""
+    from smirk_tpu import parallel
+
+    system, state = tiny_system
+    mesh = parallel.make_mesh()
+    assert mesh.devices.size == 8
+    batch = make_batch(np.random.default_rng(3), b=8)
+    batch = parallel.shard_batch(batch, mesh)
+    state_r = parallel.replicate(state, mesh)
+    s1, metrics, _ = system.train_step(state_r, batch, jax.random.PRNGKey(3),
+                                       parity=0)
+    assert np.isfinite(float(metrics["loss_first_path"]))
+    assert int(s1.step) == int(state.step) + 1
