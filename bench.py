@@ -1,0 +1,71 @@
+"""North-star benchmark: 224px video-frame inference fps/chip.
+
+Measures the full crop->encode->FLAME->rasterize pipeline (the workload
+reference demo_video.py:107-214 runs synchronously at batch 1 on GPU) as a
+single jitted batched program on one chip, and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "fps/chip", "vs_baseline": N/500}
+
+Baseline: BASELINE.json north star >= 500 fps/chip on TPU v5e.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from smirk_tpu import assets
+    from smirk_tpu.config import Config
+    from smirk_tpu.train import SmirkSystem
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else (64 if on_tpu else 2)
+    iters = 20 if on_tpu else 2
+
+    cfg = Config()
+    system = SmirkSystem(
+        cfg, assets.load_all(), steps_per_epoch=100, use_pallas=on_tpu
+    )
+    state = system.init_state(jax.random.PRNGKey(0))
+    enc_vars = state.encoder
+
+    @jax.jit
+    def forward(img):
+        enc_out = system.encoder.apply(enc_vars, img, train=False)
+        flame_out = system.flame(enc_out)
+        rend = system.renderer(flame_out["vertices"], enc_out["cam"])
+        return rend["rendered_img"], flame_out["vertices"]
+
+    img = jnp.asarray(
+        np.random.default_rng(0).random((batch, 224, 224, 3), np.float32)
+    )
+    # warmup / compile
+    out = forward(img)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(img)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "224px_encode_flame_render_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 500.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

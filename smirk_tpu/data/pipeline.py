@@ -1,0 +1,203 @@
+"""Batching pipeline: mixed-quota sampler + threaded prefetch loader.
+
+Replaces the reference's torch DataLoader + MixedDatasetBatchSampler
+(datasets/mixed_dataset_sampler.py, data_utils.py:30-57): per-batch fixed
+quotas per dataset drawn with replacement, None samples dropped, threaded
+workers keeping a prefetch queue full, yielding fixed-shape numpy dicts
+ready for jax.device_put.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class MixedDatasetSampler:
+    """Per-batch quotas from dataset ratios (mixed_dataset_sampler.py:7-55)."""
+
+    def __init__(self, dataset_sizes: Sequence[int], ratios: Sequence[float],
+                 batch_size: int, n_samples: int, seed: int = 0):
+        sizes = [s for s in dataset_sizes]
+        ratios = np.asarray(ratios, np.float64)
+        ratios = ratios / ratios.sum()
+        per_batch = np.floor(ratios * batch_size).astype(int)
+        per_batch[0] = batch_size - per_batch[1:].sum()
+        self.sizes = sizes
+        self.per_batch = per_batch
+        self.n_batches = n_samples // batch_size
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.n_batches
+
+    def __iter__(self):
+        offsets = np.cumsum([0] + list(self.sizes[:-1]))
+        cols = []
+        for size, pb, off in zip(self.sizes, self.per_batch, offsets):
+            if pb == 0 or size == 0:
+                continue
+            cols.append(
+                off + self.rng.integers(0, size, (self.n_batches, pb))
+            )
+        idx = np.concatenate(cols, axis=1)
+        for row in idx:
+            yield row.tolist()
+
+
+class ConcatDataset:
+    def __init__(self, datasets: List):
+        self.datasets = datasets
+        self.cum = np.cumsum([len(d) for d in datasets])
+
+    def __len__(self):
+        return int(self.cum[-1]) if len(self.cum) else 0
+
+    def __getitem__(self, i):
+        d = int(np.searchsorted(self.cum, i, side="right"))
+        prev = 0 if d == 0 else int(self.cum[d - 1])
+        return self.datasets[d][i - prev]
+
+
+def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    samples = [s for s in samples if s is not None]
+    keys = samples[0].keys()
+    return {k: np.stack([np.asarray(s[k]) for s in samples]) for k in keys}
+
+
+class DataLoader:
+    """Threaded prefetch loader over a dataset + batch sampler."""
+
+    def __init__(self, dataset, batch_sampler, num_workers: int = 4,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.batch_sampler)
+
+    def __iter__(self):
+        batches = list(iter(self.batch_sampler))
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        task_q: "queue.Queue" = queue.Queue()
+        results: Dict[int, Dict] = {}
+        lock = threading.Lock()
+
+        for i, b in enumerate(batches):
+            task_q.put((i, b))
+
+        def worker():
+            while True:
+                try:
+                    i, idxs = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                batch = collate([self.dataset[j] for j in idxs])
+                with lock:
+                    results[i] = batch
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        served = 0
+        while served < len(batches):
+            with lock:
+                batch = results.pop(served, None)
+            if batch is None:
+                if not any(t.is_alive() for t in threads) and served not in results:
+                    with lock:
+                        batch = results.pop(served, None)
+                    if batch is None:
+                        raise RuntimeError("loader workers died early")
+                else:
+                    threading.Event().wait(0.005)
+                    continue
+            yield batch
+            served += 1
+
+
+class SimpleBatchSampler:
+    def __init__(self, n: int, batch_size: int, shuffle=False, seed=0,
+                 drop_last=True):
+        self.n, self.bs, self.shuffle, self.seed = n, batch_size, shuffle, seed
+        self.drop_last = drop_last
+
+    def __len__(self):
+        return self.n // self.bs if self.drop_last else -(-self.n // self.bs)
+
+    def __iter__(self):
+        idx = np.arange(self.n)
+        if self.shuffle:
+            np.random.default_rng(self.seed).shuffle(idx)
+        for i in range(len(self)):
+            yield idx[i * self.bs:(i + 1) * self.bs].tolist()
+
+
+def load_dataloaders(config, synthetic: bool = False):
+    """Build (train_loader, val_loader) like reference data_utils.py:11-59.
+
+    With synthetic=True (or when no dataset paths exist) uses the procedural
+    dataset — the zero-external-data path for smoke training.
+    """
+    from smirk_tpu.data import datasets as D
+
+    if synthetic:
+        train = D.SyntheticFaceDataset(config, length=max(
+            64, config.train.batch_size * 4))
+        val = D.SyntheticFaceDataset(config, length=config.train.batch_size * 2,
+                                     test=True, seed=1)
+        train_loader = DataLoader(
+            train,
+            SimpleBatchSampler(len(train), config.train.batch_size, True),
+            num_workers=config.train.num_workers,
+        )
+        val_loader = DataLoader(
+            val, SimpleBatchSampler(len(val), config.train.batch_size),
+            num_workers=config.train.num_workers,
+        )
+        return train_loader, val_loader
+
+    d = config.dataset
+    parts, ratios = [], []
+    ffhq = D.FFHQDataset(config)
+    if len(ffhq):
+        parts.append(ffhq)
+        ratios.append(d.FFHQ_percentage)
+    celeba = D.CelebADataset(config)
+    if len(celeba):
+        parts.append(celeba)
+        ratios.append(d.CelebA_percentage)
+    try:
+        tr, va, te = D.get_lrs3_items(
+            d.LRS3_path, d.LRS3_landmarks_path, "assets/LRS3_lists.pkl"
+        )
+        parts.insert(0, D.VideoFrameDataset(config, tr))
+        ratios.insert(0, d.LRS3_percentage)
+        val_ds = D.VideoFrameDataset(config, va, test=True)
+    except FileNotFoundError:
+        val_ds = None
+    if not parts:
+        raise FileNotFoundError(
+            "no dataset paths found; pass synthetic=True for the "
+            "zero-data pipeline"
+        )
+    train = ConcatDataset(parts)
+    sampler = MixedDatasetSampler(
+        [len(p) for p in parts], ratios, config.train.batch_size,
+        config.train.samples_per_epoch,
+    )
+    train_loader = DataLoader(train, sampler, config.train.num_workers)
+    val_loader = None
+    if val_ds is not None:
+        val_loader = DataLoader(
+            val_ds,
+            SimpleBatchSampler(len(val_ds), config.train.batch_size),
+            config.train.num_workers,
+        )
+    return train_loader, val_loader

@@ -113,8 +113,9 @@ def rasterize_coverage_jnp(
 def bin_faces(
     face_verts: jnp.ndarray, image_size: int, capacity: int
 ) -> jnp.ndarray:
-    """Assign triangles to pixel tiles by bounding box. -> (B, T, C) int32,
-    -1 padded, where T = (H/TILE_ROWS)*(Wpad/TILE_COLS).
+    """Assign triangles to pixel tiles by bounding box. -> (B, Tp, C) int32,
+    -1 padded, where T = (H/TILE_ROWS)*(Wpad/TILE_COLS) and Tp rounds T up to
+    a multiple of 8 (VMEM sublane tiling for the kernel's (1,8,C) blocks).
 
     Conservative (bbox) test; extra faces only cost kernel iterations.
     """
@@ -153,35 +154,61 @@ def bin_faces(
         jnp.arange(F, dtype=jnp.int32)[None, None, :], (B, T, F)
     )
     bins = bins.at[b_idx, t_idx, slot].set(f_idx, mode="drop")
-    return bins[:, :, :capacity]
+    bins = bins[:, :, :capacity]
+    Tp = -(-T // 8) * 8
+    if Tp != T:
+        bins = jnp.concatenate(
+            [bins, jnp.full((B, Tp - T, capacity), -1, jnp.int32)], axis=1
+        )
+    return bins
 
 
-def _raster_kernel(bins_ref, fv_ref, face_out, z_out, *, H, W):
+def _raster_kernel(bins_ref, fv_ref, face_out, z_out, *, H, W, TX):
     """One 8x128 pixel tile: z-buffer over this tile's binned faces.
 
-    bins_ref: (1,1,C) SMEM int32; fv_ref: (1,F,9) VMEM f32 (xyz xyz xyz);
-    face_out: (1,8,128) int32; z_out: (1,8,128) f32.
-    H, W are the TRUE image dims (padding columns produce values that the
-    caller crops away).
+    bins_ref: (8,C) SMEM int32 — 8 consecutive bin rows; this tile's list is
+    sublane t%8 (t = linear tile index, image-major rows padded to 8);
+    fv_ref: (1,F,16) VMEM f32 (x0 y0 z0 x1 y1 z1 x2 y2 z2, zero pad);
+    face_out/z_out: (1,8,128). H, W are the TRUE image dims (padding columns
+    produce values the caller crops away).
+
+    Face records are fetched by dynamic sublane slice + one-hot reductions
+    (Mosaic forbids dynamic lane-indexed scalar reads from VMEM). TODO(perf):
+    process 8 faces per iteration via a pre-gathered per-tile record block.
     """
     ty = pl.program_id(1)
     tx = pl.program_id(2)
-    C = bins_ref.shape[2]
+    t = ty * TX + tx
+    trow = t % 8
+    C = bins_ref.shape[1]
 
-    rows = jax.lax.broadcasted_iota(jnp.float32, (TILE_ROWS, TILE_COLS), 0)
-    cols = jax.lax.broadcasted_iota(jnp.float32, (TILE_ROWS, TILE_COLS), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(
+        jnp.float32
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_COLS), 1).astype(
+        jnp.float32
+    )
     ys = (2.0 * (rows + ty * TILE_ROWS) + 1.0 - H) / H
     xs = (2.0 * (cols + tx * TILE_COLS) + 1.0 - W) / W
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+    onehots = [(lane == k).astype(jnp.float32) for k in range(9)]
+
     def body(i, carry):
         best_f, best_z = carry
-        fid = bins_ref[0, 0, i]
+        fid = bins_ref[trow, i]
         valid = fid >= 0
         f = jnp.maximum(fid, 0)
-        v = fv_ref[0, f]  # (9,)
-        x0, y0, z0 = v[0], v[1], v[2]
-        x1, y1, z1 = v[3], v[4], v[5]
-        x2, y2, z2 = v[6], v[7], v[8]
+        v = fv_ref[0, pl.ds(f, 1), :]  # (1,16)
+        x0 = jnp.sum(v * onehots[0])
+        y0 = jnp.sum(v * onehots[1])
+        z0 = jnp.sum(v * onehots[2])
+        x1 = jnp.sum(v * onehots[3])
+        y1 = jnp.sum(v * onehots[4])
+        z1 = jnp.sum(v * onehots[5])
+        x2 = jnp.sum(v * onehots[6])
+        y2 = jnp.sum(v * onehots[7])
+        z2 = jnp.sum(v * onehots[8])
         e0 = (x1 - xs) * (y2 - ys) - (y1 - ys) * (x2 - xs)
         e1 = (x2 - xs) * (y0 - ys) - (y2 - ys) * (x0 - xs)
         e2 = (x0 - xs) * (y1 - ys) - (y0 - ys) * (x1 - xs)
@@ -222,20 +249,28 @@ def rasterize_coverage_pallas(
     tx = -(-W // TILE_COLS)
     Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
 
-    bins = bin_faces(face_verts, image_size, capacity)  # (B,T,C)
-    fv_flat = face_verts.reshape(B, F, 9)
+    bins = bin_faces(face_verts, image_size, capacity)  # (B,Tp,C)
+    Tp = bins.shape[1]
+    bins = bins.reshape(B * Tp, capacity)
+    fv_flat = jnp.concatenate(
+        [
+            face_verts.reshape(B, F, 9),
+            jnp.zeros((B, F, 7), face_verts.dtype),
+        ],
+        axis=-1,
+    )  # pad records to 16 lanes
 
     grid = (B, ty, tx)
     out_face, out_z = pl.pallas_call(
-        functools.partial(_raster_kernel, H=H, W=W),
+        functools.partial(_raster_kernel, H=H, W=W, TX=tx),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, capacity),
-                lambda b, i, j: (b, i * tx + j, 0),
+                (8, capacity),
+                lambda b, i, j, tx=tx, Tp=Tp: ((b * Tp + i * tx + j) // 8, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, F, 9), lambda b, i, j: (b, 0, 0)),
+            pl.BlockSpec((1, F, 16), lambda b, i, j: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(

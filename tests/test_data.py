@@ -1,0 +1,99 @@
+"""Data layer tests: transform math vs reference conventions, sample prep
+shapes, sampler quotas, synthetic loader end-to-end."""
+import numpy as np
+
+from smirk_tpu.config import Config, TrainConfig
+from smirk_tpu.data import transforms as T
+from smirk_tpu.data import prepare_sample
+from smirk_tpu.data.pipeline import (
+    DataLoader,
+    MixedDatasetSampler,
+    SimpleBatchSampler,
+    load_dataloaders,
+)
+
+
+def test_estimate_similarity_roundtrip():
+    rng = np.random.default_rng(0)
+    src = rng.random((10, 2)) * 100
+    angle, s = 0.3, 1.7
+    R = np.array([[np.cos(angle), -np.sin(angle)], [np.sin(angle), np.cos(angle)]])
+    dst = s * src @ R.T + [5, -3]
+    M = T.estimate_similarity(src, dst)
+    np.testing.assert_allclose(T.transform_points(M, src), dst, atol=1e-8)
+
+
+def test_crop_face_tform_maps_bbox_to_frame():
+    rng = np.random.default_rng(1)
+    lmk = rng.random((478, 2)) * 50 + [100, 120]
+    M = T.crop_face_tform(lmk, scale=1.0, image_size=224)
+    out = T.transform_points(M, lmk)
+    # all landmarks land inside the frame with scale 1 and centered-ish
+    assert out.min() > -30 and out.max() < 254
+    c = out.mean(0)
+    assert abs(c[0] - 112) < 30 and abs(c[1] - 112) < 30
+
+
+def test_warp_affine_identity_and_shift():
+    img = np.arange(48, dtype=np.float32).reshape(4, 4, 3)
+    M = np.eye(3)
+    np.testing.assert_allclose(T.warp_affine(img, M, (4, 4)), img, atol=1e-5)
+    M[0, 2] = 1  # shift x by +1: out(x) = in(x-1)
+    out = T.warp_affine(img, M, (4, 4))
+    np.testing.assert_allclose(out[:, 1:], img[:, :3], atol=1e-5)
+
+
+def test_convex_hull_mask():
+    pts = np.array([[2, 2], [2, 12], [12, 2], [12, 12], [7, 7]])
+    m = T.convex_hull_mask(pts, (16, 16))
+    assert m[7, 7] == 0  # inside hull
+    assert m[0, 0] == 1 and m[15, 15] == 1  # outside
+    assert m[5, 5] == 0
+
+
+def test_prepare_sample_shapes():
+    rng = np.random.default_rng(0)
+    img = (rng.random((300, 280, 3)) * 255).astype(np.uint8)
+    fan = rng.random((68, 2)) * 150 + 60
+    mp = rng.random((478, 2)) * 150 + 60
+    d = prepare_sample(rng, img, fan, mp, image_size=128, scale=1.6, test=True)
+    assert d["img"].shape == (128, 128, 3)
+    assert d["landmarks_fan"].shape == (68, 2)
+    assert d["landmarks_mp"].shape == (105, 2)
+    assert d["mask"].shape == (128, 128, 1)
+    assert d["img_mica"].shape == (112, 112, 3)
+    assert bool(d["flag_landmarks_fan"])
+    assert np.abs(d["landmarks_mp"]).max() <= 1.5
+    # landmark normalization: pixel -> [-1,1]
+    d2 = prepare_sample(rng, img, None, mp, image_size=128, test=True)
+    assert not bool(d2["flag_landmarks_fan"])
+    assert d2["img_mica"].sum() == 0
+
+
+def test_mixed_sampler_quotas():
+    s = MixedDatasetSampler([100, 200, 300], [0.2, 0.3, 0.5], 10, 100)
+    batches = list(s)
+    assert len(batches) == 10
+    for b in batches:
+        assert len(b) == 10
+        arr = np.asarray(b)
+        assert ((arr >= 0) & (arr < 100)).sum() == 2
+        assert ((arr >= 100) & (arr < 300)).sum() == 3
+        assert (arr >= 300).sum() == 5
+
+
+def test_synthetic_loader_end_to_end():
+    cfg = Config(
+        image_size=64,
+        train=TrainConfig(batch_size=4, num_workers=2, samples_per_epoch=16),
+    )
+    train_loader, val_loader = load_dataloaders(cfg, synthetic=True)
+    n = 0
+    for batch in train_loader:
+        assert batch["img"].shape == (4, 64, 64, 3)
+        assert batch["landmarks_fan"].shape == (4, 68, 2)
+        assert batch["flag_landmarks_fan"].dtype == bool
+        n += 1
+        if n >= 2:
+            break
+    assert n == 2
