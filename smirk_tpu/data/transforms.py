@@ -105,9 +105,12 @@ def warp_affine(
     img = np.asarray(image, np.float32)
     for c in range(img.shape[2]):
         chans.append(
+            # grid-constant: zero-pad then interpolate (edge blending), the
+            # behavior of skimage.warp / cv2.warpAffine that the reference
+            # relies on; plain 'constant' would snap edge samples to cval.
             ndimage.affine_transform(
                 img[:, :, c], A, offset=offset, output_shape=out_shape,
-                order=order, mode="constant", cval=0.0,
+                order=order, mode="grid-constant", cval=0.0,
             )
         )
     return np.stack(chans, axis=-1)

@@ -1,0 +1,72 @@
+"""ctypes bindings for the native host-ops library (libfastops.so).
+
+Optional fast path for the input pipeline; smirk_tpu/data/transforms.py holds
+the numpy oracle implementations. Build with tools/build_native.sh.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libfastops.so")
+_lib = None
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def load():
+    global _lib
+    if _lib is None and os.path.exists(_LIB_PATH):
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.warp_affine_bilinear.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.convex_hull_mask.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ]
+        _lib = lib
+    return _lib
+
+
+def _fp(a, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def warp_affine(image: np.ndarray, M: np.ndarray,
+                out_shape: Tuple[int, int]) -> Optional[np.ndarray]:
+    """Forward-matrix bilinear warp, same contract as transforms.warp_affine."""
+    lib = load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(image, np.float32)
+    H, W, C = img.shape
+    OH, OW = out_shape
+    Minv = np.linalg.inv(np.asarray(M, np.float64))
+    minv = np.ascontiguousarray(Minv[:2].reshape(-1))
+    out = np.empty((OH, OW, C), np.float32)
+    lib.warp_affine_bilinear(
+        _fp(img, ctypes.c_float), H, W, C, _fp(minv, ctypes.c_double),
+        _fp(out, ctypes.c_float), OH, OW,
+    )
+    return out
+
+
+def convex_hull_mask(points: np.ndarray,
+                     shape: Tuple[int, int]) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(np.asarray(points, np.float64)[:, :2])
+    H, W = shape
+    mask = np.empty((H, W), np.float32)
+    lib.convex_hull_mask(_fp(pts, ctypes.c_double), len(pts),
+                         _fp(mask, ctypes.c_float), H, W)
+    return mask
