@@ -253,3 +253,70 @@ def get_lrs3_items(lrs3_path: str, landmarks_path: str, lists_pkl: str):
     raise FileNotFoundError(
         f"{lists_pkl} not found; run tools/build_lrs3_lists.py once"
     )
+
+
+# --------------------------- MEAD catalog ---------------------------
+
+# the paper's randomly-selected subject split (reference
+# datasets/mead_dataset.py:65-68 / mead_sides_dataset.py:53-56)
+MEAD_TRAIN_SUBJECTS = [
+    "M003", "M007", "M009", "M011", "M012", "M019", "M024", "M025", "M026",
+    "M027", "M029", "M030", "M031", "M032", "M033", "M034", "M035", "M037",
+    "M039", "M040", "M041", "W009", "W011", "W014", "W015", "W016", "W019",
+    "W021", "W023", "W024", "W025", "W026", "W035", "W036", "W037", "W038",
+    "W040",
+]
+MEAD_VAL_SUBJECTS = ["M013", "M023", "M042", "W018", "W028"]
+MEAD_TEST_SUBJECTS = ["M005", "M022", "M028", "W029", "W033"]
+
+
+def get_mead_items(config):
+    """Front-view MEAD: (video, fan pkl, mediapipe npy) per clip, split by
+    subject (reference mead_dataset.py:61-100)."""
+    d = config.dataset
+    out = {"train": [], "val": [], "test": []}
+    if not os.path.isdir(d.MEAD_fan_landmarks_path):
+        return out["train"], out["val"], out["test"]
+    for f in sorted(os.listdir(d.MEAD_fan_landmarks_path)):
+        subject = f.split("_")[0]
+        stem = f.split(".")[0]
+        item = (
+            os.path.join(d.MEAD_path, stem + ".mp4"),
+            os.path.join(d.MEAD_fan_landmarks_path, stem + ".pkl"),
+            os.path.join(d.MEAD_mediapipe_landmarks_path, stem + ".npy"),
+        )
+        if subject in MEAD_TRAIN_SUBJECTS:
+            out["train"].append(item)
+        elif subject in MEAD_VAL_SUBJECTS:
+            out["val"].append(item)
+        elif subject in MEAD_TEST_SUBJECTS:
+            out["test"].append(item)
+    return out["train"], out["val"], out["test"]
+
+
+def get_mead_sides_items(config):
+    """Side-view MEAD (4 views, mediapipe only -> FAN flag False;
+    reference mead_sides_dataset.py:51-108)."""
+    d = config.dataset
+    out = {"train": [], "val": [], "test": []}
+    for view in ("videos_left_30", "videos_left_60",
+                 "videos_right_30", "videos_right_60"):
+        vdir = os.path.join(d.MEAD_sides_path, view)
+        if not os.path.isdir(vdir):
+            continue
+        for f in sorted(os.listdir(vdir)):
+            if not f.endswith(".mp4") or "test" in f:
+                continue
+            subject = f.split("_")[0]
+            stem = f.split(".")[0]
+            lmk = os.path.join(vdir, stem + ".npy")
+            if not os.path.exists(lmk):
+                continue
+            item = (os.path.join(vdir, f), None, lmk)
+            if subject in MEAD_TRAIN_SUBJECTS:
+                out["train"].append(item)
+            elif subject in MEAD_VAL_SUBJECTS:
+                out["val"].append(item)
+            elif subject in MEAD_TEST_SUBJECTS:
+                out["test"].append(item)
+    return out["train"], out["val"], out["test"]
