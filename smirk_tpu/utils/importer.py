@@ -154,3 +154,33 @@ def split_smirk_checkpoint(state_dict: Mapping[str, Any]):
         if k.startswith("smirk_generator.")
     }
     return enc, gen
+
+
+def export_state_dict(flax_variables, prefix: str = "") -> Dict[str, Any]:
+    """Inverse of import_state_dict: flax variables -> torch-named tensor
+    dict (numpy). Lets models trained here be consumed by the reference's
+    PyTorch loaders (base_trainer.py:242-254)."""
+    import jax
+
+    out: Dict[str, Any] = {}
+    flat = jax.tree_util.tree_flatten_with_path(flax_variables)[0]
+    for keypath, leaf in flat:
+        path = tuple(k.key if hasattr(k, "key") else str(k) for k in keypath)
+        collection, *modpath = path
+        tkey = prefix + flax_path_to_torch_key(tuple(modpath))
+        leafname = modpath[-1]
+        arr = np.asarray(leaf)
+        is_transpose_conv = (
+            modpath[-2].startswith("upconv") if len(modpath) > 1 else False
+        )
+        if leafname == "kernel" and arr.ndim == 4:
+            if is_transpose_conv:
+                arr = arr.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1].copy()
+            else:
+                arr = arr.transpose(3, 2, 0, 1).copy()
+        elif leafname == "kernel" and arr.ndim == 2:
+            arr = arr.T.copy()
+        if tkey in out:
+            raise ValueError(f"duplicate torch key {tkey}")
+        out[tkey] = arr
+    return out
