@@ -68,10 +68,16 @@ def face_sampling_probabilities(
     transformed_vertices: jnp.ndarray,  # (B,V,3) NDC
     faces: jnp.ndarray,  # (F,3)
     face_probabilities: jnp.ndarray,  # (F,)
+    incidence=None,  # optional (face_idx, corner_idx) static tables
 ) -> jnp.ndarray:
     """Region prob x frontal-facing gate x screen area (masking.py:144-159)."""
     B = transformed_vertices.shape[0]
-    normals = geometry.vertex_normals(transformed_vertices, faces)
+    if incidence is not None:
+        normals = geometry.vertex_normals_gather(
+            transformed_vertices, faces, incidence[0], incidence[1]
+        )
+    else:
+        normals = geometry.vertex_normals(transformed_vertices, faces)
     fnz = geometry.face_vertices(normals, faces)[..., 2].mean(-1)  # (B,F)
     probs = jnp.broadcast_to(face_probabilities[None], fnz.shape)
     probs = jnp.where(fnz < NORMAL_Z_THRESH, probs, 0.0)
@@ -87,6 +93,7 @@ def sample_mesh_points(
     num_points: int,
     image_size: int = 224,
     coords: Optional[Dict[str, jnp.ndarray]] = None,
+    incidence=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Sample pixel locations on the visible face surface.
 
@@ -100,7 +107,7 @@ def sample_mesh_points(
     if coords is None:
         kf, kb = jax.random.split(key)
         probs = face_sampling_probabilities(
-            transformed_vertices, faces, face_probabilities
+            transformed_vertices, faces, face_probabilities, incidence
         )
         # categorical == multinomial-with-replacement; guard all-zero rows
         total = probs.sum(-1, keepdims=True)

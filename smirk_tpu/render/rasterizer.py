@@ -155,17 +155,23 @@ def bin_faces(
     )
     bins = bins.at[b_idx, t_idx, slot].set(f_idx, mode="drop")
     bins = bins[:, :, :capacity]
+    counts = jnp.minimum(overlap.sum(-1), capacity).astype(jnp.int32)  # (B,T)
     Tp = -(-T // 8) * 8
     if Tp != T:
         bins = jnp.concatenate(
             [bins, jnp.full((B, Tp - T, capacity), -1, jnp.int32)], axis=1
         )
-    return bins
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((B, Tp - T), jnp.int32)], axis=1
+        )
+    return bins, counts
 
 
-def _raster_kernel(bins_ref, fv_ref, face_out, z_out, *, H, W, TX):
+def _raster_kernel(counts_ref, bins_ref, fv_ref, face_out, z_out, *, H, W, TX):
     """One 8x128 pixel tile: z-buffer over this tile's binned faces.
 
+    counts_ref: (8,1) SMEM int32 — actual bin occupancy (dynamic loop bound:
+    typical tiles hold far fewer faces than the capacity);
     bins_ref: (8,C) SMEM int32 — 8 consecutive bin rows; this tile's list is
     sublane t%8 (t = linear tile index, image-major rows padded to 8);
     fv_ref: (1,F,16) VMEM f32 (x0 y0 z0 x1 y1 z1 x2 y2 z2, zero pad);
@@ -180,7 +186,7 @@ def _raster_kernel(bins_ref, fv_ref, face_out, z_out, *, H, W, TX):
     tx = pl.program_id(2)
     t = ty * TX + tx
     trow = t % 8
-    C = bins_ref.shape[1]
+    n_faces = counts_ref[trow, 0]
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_COLS), 0).astype(
         jnp.float32
@@ -197,7 +203,6 @@ def _raster_kernel(bins_ref, fv_ref, face_out, z_out, *, H, W, TX):
     def body(i, carry):
         best_f, best_z = carry
         fid = bins_ref[trow, i]
-        valid = fid >= 0
         f = jnp.maximum(fid, 0)
         v = fv_ref[0, pl.ds(f, 1), :]  # (1,16)
         x0 = jnp.sum(v * onehots[0])
@@ -216,7 +221,7 @@ def _raster_kernel(bins_ref, fv_ref, face_out, z_out, *, H, W, TX):
         nondegen = jnp.abs(denom) >= AREA_EPS
         safe = jnp.where(nondegen, denom, 1.0)
         w0, w1, w2 = e0 / safe, e1 / safe, e2 / safe
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & nondegen & valid
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & nondegen
         z = w0 * z0 + w1 * z1 + w2 * z2
         better = inside & (z < best_z)
         return (
@@ -228,7 +233,7 @@ def _raster_kernel(bins_ref, fv_ref, face_out, z_out, *, H, W, TX):
         jnp.full((TILE_ROWS, TILE_COLS), -1, jnp.int32),
         jnp.full((TILE_ROWS, TILE_COLS), BIG_Z, jnp.float32),
     )
-    best_f, best_z = jax.lax.fori_loop(0, C, body, init)
+    best_f, best_z = jax.lax.fori_loop(0, n_faces, body, init)
     face_out[0] = best_f
     z_out[0] = best_z
 
@@ -249,9 +254,10 @@ def rasterize_coverage_pallas(
     tx = -(-W // TILE_COLS)
     Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
 
-    bins = bin_faces(face_verts, image_size, capacity)  # (B,Tp,C)
+    bins, counts = bin_faces(face_verts, image_size, capacity)  # (B,Tp,C)
     Tp = bins.shape[1]
     bins = bins.reshape(B * Tp, capacity)
+    counts = counts.reshape(B * Tp, 1)
     fv_flat = jnp.concatenate(
         [
             face_verts.reshape(B, F, 9),
@@ -265,6 +271,11 @@ def rasterize_coverage_pallas(
         functools.partial(_raster_kernel, H=H, W=W, TX=tx),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(
+                (8, 1),
+                lambda b, i, j, tx=tx, Tp=Tp: ((b * Tp + i * tx + j) // 8, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(
                 (8, capacity),
                 lambda b, i, j, tx=tx, Tp=Tp: ((b * Tp + i * tx + j) // 8, 0),
@@ -285,7 +296,7 @@ def rasterize_coverage_pallas(
             jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
         ],
         interpret=interpret,
-    )(bins, fv_flat)
+    )(counts, bins, fv_flat)
     return out_face[:, :H, :W], out_z[:, :H, :W]
 
 

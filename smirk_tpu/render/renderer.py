@@ -49,6 +49,12 @@ class Renderer:
         self.faces = jnp.asarray(render_faces, jnp.int32)
         self.num_render_verts = len(self.kept_vertices)
         self._kept = jnp.asarray(self.kept_vertices, jnp.int32)
+        # static incidence tables: vertex normals as gathers, not scatters
+        fidx, cidx = geometry.build_vertex_face_incidence(
+            render_faces, self.num_render_verts
+        )
+        self._inc_face = jnp.asarray(fidx)
+        self._inc_corner = jnp.asarray(cidx)
 
         # constant gray albedo per corner (reference renderer.py:63,80-81)
         colors = np.full((self.num_render_verts, 3), shading.GRAY_ALBEDO, np.float32)
@@ -91,7 +97,9 @@ class Renderer:
             [sub_tv[..., :2], sub_tv[..., 2:] + Z_OFFSET], axis=-1
         )
 
-        normals = geometry.vertex_normals(sub_v, self.faces)  # (B,Vf,3)
+        normals = geometry.vertex_normals_gather(
+            sub_v, self.faces, self._inc_face, self._inc_corner
+        )  # (B,Vf,3)
         face_normals = geometry.face_vertices(normals, self.faces)  # (B,F,3,3)
         face_colors = jnp.broadcast_to(
             self.face_colors[None], (B,) + self.face_colors.shape

@@ -108,6 +108,12 @@ class SmirkSystem:
             else None
         )
         self.face_probabilities = jnp.asarray(bundle["face_probabilities"])
+        from smirk_tpu.render import geometry as _geom
+
+        fidx, cidx = _geom.build_vertex_face_incidence(
+            bundle["faces"], int(np.asarray(bundle["faces"]).max()) + 1
+        )
+        self.flame_incidence = (jnp.asarray(fidx), jnp.asarray(cidx))
         self.vgg_variables = vgg_variables
         self.emotion_variables = emotion_variables
         self.mica_variables = mica_variables
@@ -261,6 +267,7 @@ class SmirkSystem:
                 self.face_probabilities,
                 self.num_mask_points,
                 c.image_size,
+                incidence=self.flame_incidence,
             )
             extra = masking_lib.transfer_pixels(img, npoints, npoints)
             masked_img = masking_lib.compose_mask(
@@ -444,6 +451,7 @@ class SmirkSystem:
         points1, coords = masking_lib.sample_mesh_points(
             k_p1, trans_verts, self.flame.faces, self.face_probabilities,
             self.num_mask_points, c.image_size,
+            incidence=self.flame_incidence,
         )
         coords = {
             "sampled_faces_indices": jnp.concatenate(

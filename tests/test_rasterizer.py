@@ -187,3 +187,18 @@ def test_renderer_end_to_end_small():
     assert img.max() > 0.1  # lit pixels exist
     assert np.isfinite(img).all()
     assert rout["landmarks_fan"].shape == (B, 68, 2)
+
+
+def test_vertex_normals_gather_matches_scatter():
+    from smirk_tpu.render import geometry
+
+    rng = np.random.default_rng(5)
+    V, F = 80, 120
+    verts = jnp.asarray(rng.normal(0, 1, (3, V, 3)).astype(np.float32))
+    faces = rng.integers(0, V, (F, 3)).astype(np.int32)
+    a = geometry.vertex_normals(verts, jnp.asarray(faces))
+    fidx, cidx = geometry.build_vertex_face_incidence(faces, V)
+    b = geometry.vertex_normals_gather(
+        verts, jnp.asarray(faces), jnp.asarray(fidx), jnp.asarray(cidx)
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
