@@ -366,3 +366,144 @@ def rasterize(
     )
     vals, mask = interpolate_attributes(pix_to_face, face_verts, attributes)
     return vals, mask, pix_to_face
+
+
+# --------------------------------------------------------------------------
+# Stage 1c: vectorized Pallas kernel (v3) — per-face linear coefficients
+# precomputed in XLA, per-tile evaluation fully vector over (C, 1024)
+# --------------------------------------------------------------------------
+
+REC_LANES = 16  # [a0 b0 c0 a1 b1 c1 a2 b2 c2 zA zB zC fid pad pad pad]
+
+
+def face_records(face_verts: jnp.ndarray) -> jnp.ndarray:
+    """(B,F,3,3) -> (B,F,16) edge/z-plane coefficient records.
+
+    Edge functions e_i(p) = a_i*x + b_i*y + c_i equal the signed sub-areas of
+    _edge_terms; coefficients are sign-normalized by sign(denom) so the
+    inside test is simply e_i >= 0 for either winding, and the interpolated
+    depth is the affine plane z(p) = zA*x + zB*y + zC. Degenerate faces get
+    a never-inside record.
+    """
+    x0, y0, z0 = face_verts[..., 0, 0], face_verts[..., 0, 1], face_verts[..., 0, 2]
+    x1, y1, z1 = face_verts[..., 1, 0], face_verts[..., 1, 1], face_verts[..., 1, 2]
+    x2, y2, z2 = face_verts[..., 2, 0], face_verts[..., 2, 1], face_verts[..., 2, 2]
+    a0, b0, c0 = y1 - y2, x2 - x1, x1 * y2 - y1 * x2
+    a1, b1, c1 = y2 - y0, x0 - x2, x2 * y0 - y2 * x0
+    a2, b2, c2 = y0 - y1, x1 - x0, x0 * y1 - y0 * x1
+    denom = a0 * x0 + b0 * y0 + c0
+    valid = jnp.abs(denom) >= AREA_EPS
+    s = jnp.where(denom >= 0, 1.0, -1.0)
+    inv = 1.0 / jnp.where(valid, jnp.abs(denom), 1.0)
+    coeffs = jnp.stack([a0, b0, c0, a1, b1, c1, a2, b2, c2], -1) * s[..., None]
+    zplane = (
+        coeffs[..., 0:3] * z0[..., None]
+        + coeffs[..., 3:6] * z1[..., None]
+        + coeffs[..., 6:9] * z2[..., None]
+    ) * inv[..., None]
+    pad = jnp.zeros(face_verts.shape[:-2] + (4,), face_verts.dtype)
+    rec = jnp.concatenate([coeffs, zplane, pad], axis=-1)
+    # degenerate -> constant negative edge value (never inside)
+    kill = jnp.zeros((REC_LANES,), face_verts.dtype).at[2].set(-1.0)
+    return jnp.where(valid[..., None], rec, kill)
+
+
+def _raster_kernel_v3(recs_ref, face_out, z_out, *, H, W, TX):
+    """8 pixel tiles per grid step; fully vectorized over (C, 1024).
+
+    recs_ref: (1,8,C,16) VMEM — per-tile gathered face records, lane 12 holds
+    float(face id) (-1 for empty slots); face/z out: (1,8,1024) in tile-major
+    layout (reassembled to image layout by the caller).
+    """
+    g = pl.program_id(1)
+    C = recs_ref.shape[2]
+    P = TILE_ROWS * TILE_COLS  # 1024 pixels per tile
+
+    prow = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // TILE_COLS
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
+    slot = jax.lax.broadcasted_iota(jnp.int32, (C, P), 0)
+
+    for j in range(8):  # static unroll over the 8 tiles in this block
+        t = g * 8 + j
+        ty = t // TX
+        tx = t % TX
+        xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
+        ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32) + 1.0 - H) / H
+
+        rec = recs_ref[0, j]  # (C,16)
+        e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
+        e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
+        e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
+        z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
+        fid = rec[:, 12:13]
+
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
+        zm = jnp.where(inside, z, BIG_Z)  # (C,P)
+        bz = jnp.min(zm, axis=0, keepdims=True)  # (1,P)
+        # first (lowest-slot) face among z ties, matching sequential order
+        cand = jnp.where(zm == bz, slot, C)
+        best = jnp.min(cand, axis=0, keepdims=True)  # (1,P)
+        onehot = slot == best
+        best_fid = jnp.sum(jnp.where(onehot, fid, 0.0), axis=0, keepdims=True)
+        covered = bz < BIG_Z
+        face_out[0, j, :] = jnp.where(
+            covered, best_fid, -1.0
+        )[0].astype(jnp.int32)
+        z_out[0, j, :] = jnp.where(covered, bz, BIG_Z)[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "capacity", "interpret")
+)
+def rasterize_coverage_pallas_v3(
+    face_verts: jnp.ndarray,
+    image_size: int,
+    capacity: int = 192,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized tiled coverage: XLA binning+record gather, VPU z-buffer."""
+    B, F = face_verts.shape[:2]
+    H = W = image_size
+    ty = -(-H // TILE_ROWS)
+    tx = -(-W // TILE_COLS)
+    Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
+    T = ty * tx
+
+    bins, _counts = bin_faces(face_verts, image_size, capacity)  # (B,Tp,C)
+    Tp = bins.shape[1]
+    records = face_records(face_verts)  # (B,F,16)
+    records = records.at[..., 12].set(
+        jnp.arange(F, dtype=face_verts.dtype)[None]
+    )
+    recs = jax.vmap(lambda r, b: r[jnp.maximum(b, 0)])(
+        records, bins.reshape(B, -1)
+    ).reshape(B, Tp, capacity, REC_LANES)
+    kill = jnp.zeros((REC_LANES,), face_verts.dtype).at[2].set(-1.0).at[12].set(-1.0)
+    recs = jnp.where((bins < 0)[..., None], kill, recs)
+
+    grid = (B, Tp // 8)
+    out_face, out_z = pl.pallas_call(
+        functools.partial(_raster_kernel_v3, H=H, W=W, TX=tx),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, capacity, REC_LANES), lambda b, g: (b, g, 0, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, TILE_ROWS * TILE_COLS), lambda b, g: (b, g, 0)),
+            pl.BlockSpec((1, 8, TILE_ROWS * TILE_COLS), lambda b, g: (b, g, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, TILE_ROWS * TILE_COLS), jnp.int32),
+            jax.ShapeDtypeStruct((B, Tp, TILE_ROWS * TILE_COLS), jnp.float32),
+        ],
+        interpret=interpret,
+    )(recs)
+
+    def to_image(x):
+        x = x[:, :T].reshape(B, ty, tx, TILE_ROWS, TILE_COLS)
+        x = x.transpose(0, 1, 3, 2, 4).reshape(B, Hp, Wp)
+        return x[:, :H, :W]
+
+    return to_image(out_face), to_image(out_z)

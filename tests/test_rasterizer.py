@@ -202,3 +202,19 @@ def test_vertex_normals_gather_matches_scatter():
         verts, jnp.asarray(faces), jnp.asarray(fidx), jnp.asarray(cidx)
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pallas_v3_matches_jnp():
+    rng = np.random.default_rng(2)
+    fv = random_mesh(rng, F=60, B=2)
+    for size in (224, 32):
+        p2f_j, zb_j = R.rasterize_coverage_jnp(fv, size)
+        p2f_p, zb_p = R.rasterize_coverage_pallas_v3(
+            fv, size, capacity=64, interpret=True
+        )
+        assert (np.asarray(p2f_j) >= 0).mean() > 0.05
+        np.testing.assert_array_equal(np.asarray(p2f_j), np.asarray(p2f_p))
+        cov = np.asarray(p2f_j) >= 0
+        np.testing.assert_allclose(
+            np.asarray(zb_j)[cov], np.asarray(zb_p)[cov], rtol=2e-4, atol=1e-5
+        )
