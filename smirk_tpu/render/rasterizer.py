@@ -145,17 +145,22 @@ def bin_faces(
     overlap = ov_r[:, :, None, :] & ov_c[:, None, :, :]  # (B,ty,tx,F)
     overlap = overlap.reshape(B, T, F)
 
-    pos = jnp.cumsum(overlap, axis=-1) - 1  # in-bin slot
-    slot = jnp.where(overlap & (pos < capacity), pos, capacity)
-    bins = jnp.full((B, T, capacity + 1), -1, jnp.int32)
-    b_idx = jnp.arange(B)[:, None, None]
-    t_idx = jnp.arange(T)[None, :, None]
-    f_idx = jnp.broadcast_to(
-        jnp.arange(F, dtype=jnp.int32)[None, None, :], (B, T, F)
-    )
-    bins = bins.at[b_idx, t_idx, slot].set(f_idx, mode="drop")
-    bins = bins[:, :, :capacity]
-    counts = jnp.minimum(overlap.sum(-1), capacity).astype(jnp.int32)  # (B,T)
+    # compact each tile's overlapping face ids to the first `capacity` slots.
+    # top_k (partial sort) instead of cumsum+scatter: scatters serialize on
+    # TPU (measured 60ms/batch64); key orders overlapping faces by ascending
+    # face id, exactly matching the sequential z-tie semantics.
+    key = overlap.astype(jnp.int32) * (2 * F) - jnp.arange(
+        F, dtype=jnp.int32
+    )[None, None, :]
+    k = min(capacity, F)
+    vals, idx = jax.lax.top_k(key, k)  # (B,T,k)
+    valid = vals > 0
+    bins = jnp.where(valid, idx, -1).astype(jnp.int32)
+    if k < capacity:
+        bins = jnp.concatenate(
+            [bins, jnp.full((B, T, capacity - k), -1, jnp.int32)], axis=-1
+        )
+    counts = valid.sum(-1).astype(jnp.int32)  # (B,T)
     Tp = -(-T // 8) * 8
     if Tp != T:
         bins = jnp.concatenate(
