@@ -62,8 +62,47 @@ def main(argv=None):
     tracks = np.load(args.landmarks) if args.landmarks else None
 
     os.makedirs(args.out_path, exist_ok=True)
-    crops, tforms, frames = [], [], []
+    crops, kpts_c, frames = [], [], []
+    pending = []  # (idx0, crops, device outputs) — async device dispatch
     fps_frames, fps_time = 0, 0.0
+
+    gen_fn = None
+    if args.use_smirk_generator and system.generator is not None:
+        from smirk_tpu import masking as M
+        from smirk_tpu.data import transforms as T
+
+        def gen_fn(imgs, out, hulls, seed):
+            key = jax.random.PRNGKey(seed)
+            k1, k4 = jax.random.split(key)
+            npts, _ = M.sample_mesh_points(
+                k1, out["transformed_vertices"], system.flame.faces,
+                system.face_probabilities,
+                int(0.05 * 224 * 224), 224,
+            )
+            extra = M.transfer_pixels(imgs, npts, npts)
+            masked = M.compose_mask(
+                k4, imgs, hulls, extra, dilation_radius=10,
+                rendered_mask=out["rendered_mask"],
+            )
+            return system.generator.apply(
+                state.generator,
+                jnp.concatenate([out["rendered_img"], masked], -1),
+                train=False,
+            )
+
+    def drain(final=False):
+        nonlocal fps_frames, fps_time
+        while pending and (final or len(pending) > 2):
+            idx0, cr, out, recon = pending.pop(0)
+            rendered = np.asarray(out["rendered_img"])[: len(cr)]
+            rec = None if recon is None else np.asarray(recon)[: len(cr)]
+            for i in range(len(cr)):
+                cols = [cr[i], rendered[i]]
+                if rec is not None:
+                    cols.append(rec[i])
+                save_image(np.concatenate(cols, axis=1),
+                           os.path.join(args.out_path,
+                                        f"frame_{idx0 + i:06d}.jpg"))
 
     def flush(idx0: int):
         nonlocal fps_frames, fps_time
@@ -76,16 +115,24 @@ def main(argv=None):
                 [batch, np.zeros((args.batch - n,) + batch.shape[1:],
                                  batch.dtype)])
         t0 = time.perf_counter()
-        out = system.infer(state.encoder, jnp.asarray(batch))
+        imgs = jnp.asarray(batch)
+        out = system.infer(state.encoder, imgs)
+        recon = None
+        if gen_fn is not None:
+            from smirk_tpu.data import transforms as T
+
+            hulls = np.stack([
+                1.0 - T.convex_hull_mask(k, (224, 224)) if k is not None
+                else np.ones((224, 224), np.float32)
+                for k in (kpts_c + [None] * (args.batch - n))
+            ])[..., None]
+            recon = gen_fn(imgs, out, jnp.asarray(hulls), idx0)
         jax.block_until_ready(out["rendered_img"])
         fps_time += time.perf_counter() - t0
         fps_frames += n
-        rendered = np.asarray(out["rendered_img"])[:n]
-        for i in range(n):
-            panel = np.concatenate([crops[i], rendered[i]], axis=1)
-            save_image(panel, os.path.join(args.out_path,
-                                           f"frame_{idx0 + i:06d}.jpg"))
-        crops.clear(), tforms.clear(), frames.clear()
+        pending.append((idx0, list(crops), out, recon))
+        drain()
+        crops.clear(), kpts_c.clear(), frames.clear()
 
     done = 0
     for fi, frame in enumerate(iter_frames(args.input_path)):
@@ -95,19 +142,24 @@ def main(argv=None):
             crop = np.clip(
                 T.warp_affine(frame.astype(np.float32), M, (224, 224)), 0, 255
             ) / 255.0
-            tforms.append(M)
+            kpts_c.append(T.transform_points(M, kpt[..., :2]))
         else:
             from PIL import Image
 
             crop = np.asarray(
                 Image.fromarray(frame).resize((224, 224)), np.float32) / 255.0
-            tforms.append(None)
+            if kpt is not None:
+                H0, W0 = frame.shape[:2]
+                kpts_c.append(kpt[..., :2] * [224.0 / W0, 224.0 / H0])
+            else:
+                kpts_c.append(None)
         crops.append(crop.astype(np.float32))
         frames.append(frame)
         if len(crops) == args.batch:
             flush(done)
             done = fi + 1
     flush(done)
+    drain(final=True)
     if fps_time > 0:
         print(f"device fps: {fps_frames / fps_time:.1f} "
               f"({fps_frames} frames, {fps_time:.2f}s device time)")
