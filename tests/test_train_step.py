@@ -119,3 +119,57 @@ def test_train_step_multichip(tiny_system):
                                        parity=0)
     assert np.isfinite(float(metrics["loss_first_path"]))
     assert int(s1.step) == int(state.step) + 1
+
+
+def test_full_state_resume_roundtrip(tiny_system, tmp_path):
+    """Save/restore the FULL TrainState (incl. Adam moments) mid-training."""
+    import jax
+
+    from smirk_tpu.utils import checkpoint as ckpt
+
+    system, state = tiny_system
+    batch = make_batch(np.random.default_rng(5))
+    rng = jax.random.PRNGKey(5)
+    s1, _, _ = system.train_step(state, batch, rng, parity=0)
+    path = str(tmp_path / "state.npz")
+    ckpt.save_state(s1, path)
+    blank = jax.tree_util.tree_map(jnp.zeros_like, s1)
+    restored = ckpt.restore_state(blank, path)
+    # continuing from restored must equal continuing from the live state
+    s2a, m2a, _ = system.train_step(s1, batch, rng, parity=1)
+    s2b, m2b, _ = system.train_step(restored, batch, rng, parity=1)
+    np.testing.assert_allclose(
+        float(m2a["loss_first_path"]), float(m2b["loss_first_path"]), rtol=1e-6
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(s2a.encoder["params"]),
+                    jax.tree_util.tree_leaves(s2b.encoder["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_base_model_regularization_path(tiny_system):
+    """use_base_model_for_regularization=True regularizes toward the frozen
+    copy instead of zeros (smirk_trainer.py:64-68)."""
+    import dataclasses
+
+    import jax
+
+    system, state = tiny_system
+    cfg = dataclasses.replace(
+        system.config,
+        train=dataclasses.replace(
+            system.config.train, use_base_model_for_regularization=True
+        ),
+    )
+    old_cfg = system.config
+    system.config = cfg
+    try:
+        batch = make_batch(np.random.default_rng(6))
+        # base == current at init -> regularization terms ~0
+        _, metrics, _ = system.eval_step(state, batch, jax.random.PRNGKey(6))
+        assert float(metrics["expression_regularization"]) < 1e-8
+        assert float(metrics["shape_regularization"]) < 1e-8
+    finally:
+        system.config = old_cfg
+        system._train_step = jax.jit(
+            system._step_impl, static_argnames=("parity", "train")
+        )
