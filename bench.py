@@ -28,25 +28,36 @@ def main():
     iters = 20 if on_tpu else 2
 
     cfg = Config()
-    system = SmirkSystem(
-        cfg, assets.load_all(), steps_per_epoch=100, use_pallas=on_tpu
-    )
+    bundle = assets.load_all()
+    system = SmirkSystem(cfg, bundle, steps_per_epoch=100, use_pallas=on_tpu)
     state = system.init_state(jax.random.PRNGKey(0))
     enc_vars = state.encoder
+
+    # With random-init weights + the synthetic-template head (not origin
+    # centered), the raw cam would put the face off-screen and the raster
+    # would measure an empty scene. Recentering the cam translation makes the
+    # benchmark render a real full-coverage face; with trained weights and
+    # the licensed FLAME model this correction is ~0.
+    face_c = np.asarray(bundle["v_template"])[
+        np.asarray(system.renderer.kept_vertices)
+    ].mean(0)
+    cam_fix = jnp.asarray([0.0, -face_c[0], -face_c[1]])
 
     @jax.jit
     def forward(img):
         enc_out = system.encoder.apply(enc_vars, img, train=False)
         flame_out = system.flame(enc_out)
-        rend = system.renderer(flame_out["vertices"], enc_out["cam"])
-        return rend["rendered_img"], flame_out["vertices"]
+        rend = system.renderer(flame_out["vertices"], enc_out["cam"] + cam_fix)
+        return rend["rendered_img"], flame_out["vertices"], rend["rendered_mask"]
 
     img = jnp.asarray(
         np.random.default_rng(0).random((batch, 224, 224, 3), np.float32)
     )
-    # warmup / compile
+    # warmup / compile; also verify the scene is non-empty (coverage > 5%)
     out = forward(img)
     jax.block_until_ready(out)
+    coverage = float(out[2].mean())
+    assert coverage > 0.05, f"benchmark scene is empty (coverage={coverage})"
 
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -38,6 +38,7 @@ def main(argv=None):
     log_path = config.train.log_path
     os.makedirs(os.path.join(log_path, "train_images"), exist_ok=True)
     os.makedirs(os.path.join(log_path, "val_images"), exist_ok=True)
+    _save_config_snapshot(config, log_path)  # reference train.py:31
 
     train_loader, val_loader = load_dataloaders(config, synthetic=synthetic)
     steps_per_epoch = len(train_loader)
@@ -141,3 +142,11 @@ def _maybe_vgg(config):
 
 if __name__ == "__main__":
     main()
+
+
+def _save_config_snapshot(config, log_path):
+    import dataclasses
+    import json
+
+    with open(os.path.join(log_path, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(config), f, indent=2)

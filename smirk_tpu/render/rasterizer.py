@@ -311,11 +311,11 @@ def rasterize_coverage(
     capacity: int = 512,
     use_pallas: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dispatch: Pallas on TPU, brute-force jnp elsewhere."""
+    """Dispatch: vectorized Pallas (v3) on TPU, brute-force jnp elsewhere."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
-        return rasterize_coverage_pallas(face_verts, image_size, capacity)
+        return rasterize_coverage_pallas_v3(face_verts, image_size, capacity)
     return rasterize_coverage_jnp(face_verts, image_size)
 
 
@@ -413,20 +413,26 @@ def face_records(face_verts: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid[..., None], rec, kill)
 
 
-def _raster_kernel_v3(recs_ref, face_out, z_out, *, H, W, TX):
-    """8 pixel tiles per grid step; fully vectorized over (C, 1024).
+V3_CHUNK = 32  # faces per inner step; bounds kernel VMEM stack (~16MB/core)
+
+
+def _raster_kernel_v3(counts_ref, recs_ref, face_out, z_out, *, H, W, TX):
+    """8 pixel tiles per grid step; vectorized over (CHUNK, 1024) faces.
 
     recs_ref: (1,8,C,16) VMEM — per-tile gathered face records, lane 12 holds
     float(face id) (-1 for empty slots); face/z out: (1,8,1024) in tile-major
-    layout (reassembled to image layout by the caller).
+    layout (reassembled to image layout by the caller). Faces are processed
+    in chunks of V3_CHUNK with a running (z, fid) merge so the live VMEM
+    footprint stays ~V3_CHUNK x 1024 x few arrays.
     """
     g = pl.program_id(1)
     C = recs_ref.shape[2]
     P = TILE_ROWS * TILE_COLS  # 1024 pixels per tile
+    CH = V3_CHUNK
 
     prow = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // TILE_COLS
     pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
-    slot = jax.lax.broadcasted_iota(jnp.int32, (C, P), 0)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (CH, P), 0)
 
     for j in range(8):  # static unroll over the 8 tiles in this block
         t = g * 8 + j
@@ -435,25 +441,34 @@ def _raster_kernel_v3(recs_ref, face_out, z_out, *, H, W, TX):
         xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
         ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32) + 1.0 - H) / H
 
-        rec = recs_ref[0, j]  # (C,16)
-        e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
-        e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
-        e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
-        z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
-        fid = rec[:, 12:13]
+        def chunk_body(k, carry, j=j, xs=xs, ys=ys):
+            bz, bfid = carry  # (1,P) float z, (1,P) float fid
+            off = pl.multiple_of(k * CH, CH)
+            rec = recs_ref[0, j, pl.ds(off, CH), :]  # (CH,16)
+            e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
+            e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
+            e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
+            z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
+            fid = rec[:, 12:13]
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
+            zm = jnp.where(inside, z, BIG_Z)  # (CH,P)
+            cz = jnp.min(zm, axis=0, keepdims=True)  # (1,P)
+            # first (lowest-slot) face among in-chunk z ties
+            cand = jnp.where(zm == cz, slot, CH)
+            best = jnp.min(cand, axis=0, keepdims=True)
+            cfid = jnp.sum(
+                jnp.where(slot == best, fid, 0.0), axis=0, keepdims=True
+            )
+            better = cz < bz  # earlier chunk wins ties (sequential order)
+            return (jnp.where(better, cz, bz), jnp.where(better, cfid, bfid))
 
-        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
-        zm = jnp.where(inside, z, BIG_Z)  # (C,P)
-        bz = jnp.min(zm, axis=0, keepdims=True)  # (1,P)
-        # first (lowest-slot) face among z ties, matching sequential order
-        cand = jnp.where(zm == bz, slot, C)
-        best = jnp.min(cand, axis=0, keepdims=True)  # (1,P)
-        onehot = slot == best
-        best_fid = jnp.sum(jnp.where(onehot, fid, 0.0), axis=0, keepdims=True)
+        n_chunks = (counts_ref[j, 0] + CH - 1) // CH  # dynamic occupancy bound
+        bz, bfid = jax.lax.fori_loop(
+            0, n_chunks, chunk_body,
+            (jnp.full((1, P), BIG_Z), jnp.full((1, P), -1.0)),
+        )
         covered = bz < BIG_Z
-        face_out[0, j, :] = jnp.where(
-            covered, best_fid, -1.0
-        )[0].astype(jnp.int32)
+        face_out[0, j, :] = jnp.where(covered, bfid, -1.0)[0].astype(jnp.int32)
         z_out[0, j, :] = jnp.where(covered, bz, BIG_Z)[0]
 
 
@@ -467,6 +482,7 @@ def rasterize_coverage_pallas_v3(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Vectorized tiled coverage: XLA binning+record gather, VPU z-buffer."""
+    assert capacity % V3_CHUNK == 0, "capacity must be a multiple of V3_CHUNK"
     B, F = face_verts.shape[:2]
     H = W = image_size
     ty = -(-H // TILE_ROWS)
@@ -474,7 +490,7 @@ def rasterize_coverage_pallas_v3(
     Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
     T = ty * tx
 
-    bins, _counts = bin_faces(face_verts, image_size, capacity)  # (B,Tp,C)
+    bins, counts = bin_faces(face_verts, image_size, capacity)  # (B,Tp,C)
     Tp = bins.shape[1]
     records = face_records(face_verts)  # (B,F,16)
     records = records.at[..., 12].set(
@@ -492,6 +508,10 @@ def rasterize_coverage_pallas_v3(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
+                (8, 1), lambda b, g, Tp=Tp: ((b * Tp + g * 8) // 8, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
                 (1, 8, capacity, REC_LANES), lambda b, g: (b, g, 0, 0)
             ),
         ],
@@ -504,7 +524,7 @@ def rasterize_coverage_pallas_v3(
             jax.ShapeDtypeStruct((B, Tp, TILE_ROWS * TILE_COLS), jnp.float32),
         ],
         interpret=interpret,
-    )(recs)
+    )(counts.reshape(B * Tp, 1), recs)
 
     def to_image(x):
         x = x[:, :T].reshape(B, ty, tx, TILE_ROWS, TILE_COLS)

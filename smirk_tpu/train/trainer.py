@@ -626,3 +626,31 @@ class SmirkSystem:
              "landmarks_mp": flame_out["landmarks_mp"]},
         )
         return {**enc_out, **flame_out, **rend}
+
+    # ---------------------------- visualization ----------------------------
+
+    def make_visualizations(self, state: TrainState, batch, aux):
+        """Extra viz renders (reference create_visualizations,
+        base_trainer.py:165-224): base-encoder render + zero-pose/expression
+        render with the canonical viz camera."""
+        enc_out = aux["encoder_output"]
+        B = batch["img"].shape[0]
+        zero_cam = jnp.tile(jnp.asarray([[7.0, 0.0, 0.0]]), (B, 1))
+
+        viz = {
+            "rendered_img": aux["rendered_img"],
+            "masked_img": aux.get("masked_img"),
+            "reconstructed_img": aux.get("reconstructed_img"),
+        }
+        base_out = self.encoder.apply(state.base_encoder, batch["img"],
+                                      train=False)
+        base_flame = self.flame(base_out)
+        viz["rendered_img_base"] = self.renderer(
+            base_flame["vertices"], base_out["cam"]
+        )["rendered_img"]
+
+        zero_flame = self.flame(enc_out, zero_expression=True, zero_pose=True)
+        viz["rendered_img_zero"] = self.renderer(
+            zero_flame["vertices"], zero_cam
+        )["rendered_img"]
+        return viz
