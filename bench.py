@@ -47,7 +47,9 @@ def main():
     def forward(img):
         enc_out = system.encoder.apply(enc_vars, img, train=False)
         flame_out = system.flame(enc_out)
-        rend = system.renderer(flame_out["vertices"], enc_out["cam"] + cam_fix)
+        rend = system.renderer(
+            flame_out["vertices"], enc_out["cam"] + cam_fix, inference=True
+        )
         return rend["rendered_img"], flame_out["vertices"], rend["rendered_mask"]
 
     img = jnp.asarray(

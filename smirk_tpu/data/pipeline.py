@@ -164,7 +164,7 @@ def load_dataloaders(config, synthetic: bool = False):
         return train_loader, val_loader
 
     d = config.dataset
-    parts, ratios = [], []
+    parts, ratios, val_parts = [], [], []
     ffhq = D.FFHQDataset(config)
     if len(ffhq):
         parts.append(ffhq)
@@ -173,15 +173,25 @@ def load_dataloaders(config, synthetic: bool = False):
     if len(celeba):
         parts.append(celeba)
         ratios.append(d.CelebA_percentage)
+    mead_tr, mead_va, _ = D.get_mead_items(config)
+    if mead_tr:
+        parts.append(D.VideoFrameDataset(config, mead_tr))
+        ratios.append(d.MEAD_percentage)
+        val_parts.append(D.VideoFrameDataset(config, mead_va, test=True))
+    sides_tr, _, _ = D.get_mead_sides_items(config)
+    if sides_tr:
+        parts.append(D.VideoFrameDataset(config, sides_tr))
+        ratios.append(d.MEAD_sides_percentage)
     try:
         tr, va, te = D.get_lrs3_items(
             d.LRS3_path, d.LRS3_landmarks_path, "assets/LRS3_lists.pkl"
         )
         parts.insert(0, D.VideoFrameDataset(config, tr))
         ratios.insert(0, d.LRS3_percentage)
-        val_ds = D.VideoFrameDataset(config, va, test=True)
+        val_parts.insert(0, D.VideoFrameDataset(config, va, test=True))
     except FileNotFoundError:
-        val_ds = None
+        pass
+    val_ds = ConcatDataset(val_parts) if val_parts else None
     if not parts:
         raise FileNotFoundError(
             "no dataset paths found; pass synthetic=True for the "

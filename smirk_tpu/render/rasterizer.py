@@ -532,3 +532,170 @@ def rasterize_coverage_pallas_v3(
         return x[:, :H, :W]
 
     return to_image(out_face), to_image(out_z)
+
+
+# --------------------------------------------------------------------------
+# Stage 1d: fused inference kernel — coverage + attribute-plane evaluation
+# in one pass (no per-pixel gathers; the 72ms/batch64 XLA gather in
+# interpolate_attributes dominated the inference render)
+# --------------------------------------------------------------------------
+
+RECF_LANES = 32  # [9 edge | 3 zplane | fid | pad | 9 normal-plane | pad]
+
+
+def face_records_shaded(
+    face_verts: jnp.ndarray, face_normals: jnp.ndarray
+) -> jnp.ndarray:
+    """(B,F,3,3) verts + (B,F,3,3) corner normals -> (B,F,32) records.
+
+    Lanes 0-12 as face_records; lanes 16-24 hold the affine normal plane
+    n_k(p) = NA_k*x + NB_k*y + NC_k (barycentric interpolation of corner
+    normals is affine over the face).
+    """
+    base = face_records(face_verts)  # (B,F,16)
+    x0, y0 = face_verts[..., 0, 0], face_verts[..., 0, 1]
+    x1, y1 = face_verts[..., 1, 0], face_verts[..., 1, 1]
+    x2, y2 = face_verts[..., 2, 0], face_verts[..., 2, 1]
+    a0, b0, c0 = y1 - y2, x2 - x1, x1 * y2 - y1 * x2
+    denom = a0 * x0 + b0 * y0 + c0
+    valid = jnp.abs(denom) >= AREA_EPS
+    inv = 1.0 / jnp.where(valid, denom, 1.0)  # signed: w_i = e_i/denom
+    # w_i(p) = (a_i x + b_i y + c_i)/denom; n(p) = sum_i w_i n_i
+    coeffs = jnp.stack(
+        [
+            y1 - y2, x2 - x1, x1 * y2 - y1 * x2,
+            y2 - y0, x0 - x2, x2 * y0 - y2 * x0,
+            y0 - y1, x1 - x0, x0 * y1 - y0 * x1,
+        ],
+        -1,
+    ) * inv[..., None]  # (B,F,9): [a0 b0 c0 a1 b1 c1 a2 b2 c2] / denom
+    n0, n1, n2 = face_normals[..., 0, :], face_normals[..., 1, :], face_normals[..., 2, :]
+    # NA_k = a0' n0k + a1' n1k + a2' n2k  etc.
+    NA = coeffs[..., 0:1] * n0 + coeffs[..., 3:4] * n1 + coeffs[..., 6:7] * n2
+    NB = coeffs[..., 1:2] * n0 + coeffs[..., 4:5] * n1 + coeffs[..., 7:8] * n2
+    NC = coeffs[..., 2:3] * n0 + coeffs[..., 5:6] * n1 + coeffs[..., 8:9] * n2
+    nplane = jnp.stack([NA, NB, NC], axis=-2).reshape(
+        face_verts.shape[:-2] + (9,)
+    )  # [NAx NAy NAz NBx ... NCz]
+    pad = jnp.zeros(face_verts.shape[:-2] + (7,), face_verts.dtype)
+    return jnp.concatenate([base, nplane, pad], axis=-1)
+
+
+def _raster_kernel_v4(counts_ref, recs_ref, face_out, z_out,
+                      nx_out, ny_out, nz_out, *, H, W, TX):
+    """v3 + in-kernel evaluation of the winner's interpolated normal."""
+    g = pl.program_id(1)
+    C = recs_ref.shape[2]
+    P = TILE_ROWS * TILE_COLS
+    CH = V3_CHUNK
+
+    prow = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // TILE_COLS
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
+    slot = jax.lax.broadcasted_iota(jnp.int32, (CH, P), 0)
+
+    for j in range(8):
+        t = g * 8 + j
+        ty = t // TX
+        tx = t % TX
+        xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
+        ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32) + 1.0 - H) / H
+
+        def chunk_body(k, carry, j=j, xs=xs, ys=ys):
+            bz, bfid, bnx, bny, bnz = carry
+            off = pl.multiple_of(k * CH, CH)
+            rec = recs_ref[0, j, pl.ds(off, CH), :]  # (CH,32)
+            e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
+            e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
+            e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
+            z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
+            fid = rec[:, 12:13]
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
+            zm = jnp.where(inside, z, BIG_Z)
+            cz = jnp.min(zm, axis=0, keepdims=True)
+            cand = jnp.where(zm == cz, slot, CH)
+            best = jnp.min(cand, axis=0, keepdims=True)
+            oh = (slot == best).astype(jnp.float32)
+            # interpolated normal of each face at this pixel (affine planes)
+            nx = rec[:, 16:17] * xs + rec[:, 19:20] * ys + rec[:, 22:23]
+            ny = rec[:, 17:18] * xs + rec[:, 20:21] * ys + rec[:, 23:24]
+            nz = rec[:, 18:19] * xs + rec[:, 21:22] * ys + rec[:, 24:25]
+            cfid = jnp.sum(oh * fid, axis=0, keepdims=True)
+            cnx = jnp.sum(oh * nx, axis=0, keepdims=True)
+            cny = jnp.sum(oh * ny, axis=0, keepdims=True)
+            cnz = jnp.sum(oh * nz, axis=0, keepdims=True)
+            better = cz < bz
+            sel = lambda a, b: jnp.where(better, a, b)
+            return (sel(cz, bz), sel(cfid, bfid), sel(cnx, bnx),
+                    sel(cny, bny), sel(cnz, bnz))
+
+        n_chunks = (counts_ref[j, 0] + CH - 1) // CH
+        zero = jnp.zeros((1, P))
+        bz, bfid, bnx, bny, bnz = jax.lax.fori_loop(
+            0, n_chunks, chunk_body,
+            (jnp.full((1, P), BIG_Z), jnp.full((1, P), -1.0), zero, zero, zero),
+        )
+        covered = bz < BIG_Z
+        face_out[0, j, :] = jnp.where(covered, bfid, -1.0)[0].astype(jnp.int32)
+        z_out[0, j, :] = jnp.where(covered, bz, BIG_Z)[0]
+        nx_out[0, j, :] = jnp.where(covered, bnx, 0.0)[0]
+        ny_out[0, j, :] = jnp.where(covered, bny, 0.0)[0]
+        nz_out[0, j, :] = jnp.where(covered, bnz, 0.0)[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "capacity", "interpret")
+)
+def rasterize_normals_fused(
+    face_verts: jnp.ndarray,
+    face_normals: jnp.ndarray,
+    image_size: int,
+    capacity: int = 640,
+    interpret: bool = False,
+):
+    """Fused inference raster: -> (normal image (B,H,W,3), pix_to_face,
+    zbuf). Non-differentiable (inference/visualization path; training uses
+    interpolate_attributes for gradients)."""
+    assert capacity % V3_CHUNK == 0
+    B, F = face_verts.shape[:2]
+    H = W = image_size
+    ty = -(-H // TILE_ROWS)
+    tx = -(-W // TILE_COLS)
+    Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
+    T = ty * tx
+
+    bins, counts = bin_faces(face_verts, image_size, capacity)
+    Tp = bins.shape[1]
+    records = face_records_shaded(face_verts, face_normals)
+    records = records.at[..., 12].set(
+        jnp.arange(F, dtype=face_verts.dtype)[None]
+    )
+    recs = jax.vmap(lambda r, b: r[jnp.maximum(b, 0)])(
+        records, bins.reshape(B, -1)
+    ).reshape(B, Tp, capacity, RECF_LANES)
+    kill = jnp.zeros((RECF_LANES,)).at[2].set(-1.0).at[12].set(-1.0)
+    recs = jnp.where((bins < 0)[..., None], kill, recs)
+
+    P = TILE_ROWS * TILE_COLS
+    outs = pl.pallas_call(
+        functools.partial(_raster_kernel_v4, H=H, W=W, TX=tx),
+        grid=(B, Tp // 8),
+        in_specs=[
+            pl.BlockSpec((8, 1), lambda b, g, Tp=Tp: ((b * Tp + g * 8) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, capacity, RECF_LANES),
+                         lambda b, g: (b, g, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, 8, P), lambda b, g: (b, g, 0))] * 5,
+        out_shape=[jax.ShapeDtypeStruct((B, Tp, P), jnp.int32)]
+        + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * 4,
+        interpret=interpret,
+    )(counts.reshape(B * Tp, 1), recs)
+
+    def to_image(x):
+        x = x[:, :T].reshape(B, ty, tx, TILE_ROWS, TILE_COLS)
+        return x.transpose(0, 1, 3, 2, 4).reshape(B, Hp, Wp)[:, :H, :W]
+
+    p2f = to_image(outs[0])
+    zbuf = to_image(outs[1])
+    normals = jnp.stack([to_image(o) for o in outs[2:5]], axis=-1)
+    return normals, p2f, zbuf

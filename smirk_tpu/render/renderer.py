@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,6 +70,7 @@ class Renderer:
         vertices: jnp.ndarray,  # (B,V,3) FLAME world-space vertices
         cam: jnp.ndarray,  # (B,3) [scale, tx, ty]
         landmarks: Optional[Dict[str, jnp.ndarray]] = None,
+        inference: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         out = {}
         transformed_vertices = self.project(vertices, cam)
@@ -77,7 +79,13 @@ class Renderer:
             for key, lmk in landmarks.items():
                 out[key] = camera_lib.project_landmarks(lmk, cam)
 
-        rendered, mask, pix_to_face = self.render(vertices, transformed_vertices)
+        use_fused = inference and (
+            self.use_pallas
+            if self.use_pallas is not None
+            else jax.default_backend() not in ("cpu",)
+        )
+        render_fn = self.render_inference if use_fused else self.render
+        rendered, mask, pix_to_face = render_fn(vertices, transformed_vertices)
         out["rendered_img"] = rendered
         out["rendered_mask"] = mask
         out["pix_to_face"] = pix_to_face
@@ -118,3 +126,26 @@ class Renderer:
         normal_images = pixel_vals[..., 3:6]
         shade = shading.directional_shading(normal_images)
         return albedo * shade, mask, pix_to_face
+
+    def render_inference(self, vertices, transformed_vertices):
+        """Gather-free inference render via the fused Pallas kernel
+        (coverage + normal-plane evaluation in one pass). Non-differentiable;
+        numerically equivalent to `render` up to fp ordering."""
+        B = vertices.shape[0]
+        sub_v = vertices[:, self._kept]
+        sub_tv = jnp.concatenate(
+            [transformed_vertices[:, self._kept][..., :2],
+             transformed_vertices[:, self._kept][..., 2:] + Z_OFFSET], axis=-1
+        )
+        normals = geometry.vertex_normals_gather(
+            sub_v, self.faces, self._inc_face, self._inc_corner
+        )
+        face_normals = geometry.face_vertices(normals, self.faces)
+        face_verts = geometry.face_vertices(sub_tv, self.faces)
+        normal_img, pix_to_face, _ = raster_lib.rasterize_normals_fused(
+            face_verts, face_normals, self.image_size,
+            capacity=self.bin_capacity,
+        )
+        mask = (pix_to_face >= 0)[..., None].astype(normal_img.dtype)
+        shade = shading.directional_shading(normal_img)
+        return shading.GRAY_ALBEDO * shade * mask, mask, pix_to_face

@@ -624,6 +624,7 @@ class SmirkSystem:
             flame_out["vertices"], enc_out["cam"],
             {"landmarks_fan": flame_out["landmarks_fan"],
              "landmarks_mp": flame_out["landmarks_mp"]},
+            inference=True,  # fused gather-free raster on TPU
         )
         return {**enc_out, **flame_out, **rend}
 

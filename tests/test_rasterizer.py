@@ -218,3 +218,18 @@ def test_pallas_v3_matches_jnp():
         np.testing.assert_allclose(
             np.asarray(zb_j)[cov], np.asarray(zb_p)[cov], rtol=2e-4, atol=1e-5
         )
+
+
+def test_fused_normals_matches_separate_path():
+    """rasterize_normals_fused == coverage + interpolate(normals) pixelwise."""
+    rng = np.random.default_rng(7)
+    fv = random_mesh(rng, F=50, B=2)
+    fn = jnp.asarray(rng.normal(0, 1, (2, 50, 3, 3)).astype(np.float32))
+    nimg, p2f, zb = R.rasterize_normals_fused(fv, fn, 32, capacity=64,
+                                              interpret=True)
+    p2f_ref, _ = R.rasterize_coverage_jnp(fv, 32)
+    np.testing.assert_array_equal(np.asarray(p2f), np.asarray(p2f_ref))
+    vals, mask = R.interpolate_attributes(p2f_ref, fv, fn)
+    np.testing.assert_allclose(
+        np.asarray(nimg), np.asarray(vals), atol=2e-4, rtol=1e-3
+    )

@@ -162,6 +162,10 @@ def test_base_model_regularization_path(tiny_system):
     )
     old_cfg = system.config
     system.config = cfg
+    # fresh jit: the cached one was traced with the old config closure
+    system._train_step = jax.jit(
+        system._step_impl, static_argnames=("parity", "train")
+    )
     try:
         batch = make_batch(np.random.default_rng(6))
         # base == current at init -> regularization terms ~0
