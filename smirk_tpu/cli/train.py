@@ -77,14 +77,10 @@ def main(argv=None):
                     state, metrics, aux = system.eval_step(state, batch, rng)
                 logger.log(batch_idx, metrics, phase)
                 if batch_idx % config.train.visualize_every == 0:
+                    extra = system.make_visualizations(state, batch, aux)
                     grid = viz.training_grid(
                         jax.tree_util.tree_map(np.asarray, batch),
-                        {
-                            "rendered_img": np.asarray(aux["rendered_img"]),
-                            "masked_img": _np_or_none(aux["masked_img"]),
-                            "reconstructed_img": _np_or_none(
-                                aux["reconstructed_img"]),
-                        },
+                        {k: _np_or_none(v) for k, v in extra.items()},
                         show_landmarks=False,
                     )
                     viz.save_image(grid, os.path.join(

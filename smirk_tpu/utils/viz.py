@@ -71,8 +71,8 @@ def training_grid(
         cols.append(make_grid(overlaid))
     else:
         cols.append(make_grid(img))
-    for key in ("rendered_img", "rendered_img_zero", "masked_img",
-                "reconstructed_img", "loss_img"):
+    for key in ("rendered_img", "rendered_img_base", "rendered_img_zero",
+                "masked_img", "reconstructed_img", "loss_img"):
         if outputs.get(key) is not None:
             cols.append(make_grid(np.asarray(outputs[key])))
     if "img" in batch and outputs.get("rendered_img") is not None:
