@@ -45,9 +45,23 @@ def main(argv=None):
 
     bundle = assets.load_all()
     templates = _load_templates(config)
+    from smirk_tpu.models import teachers
+
+    w = config.train.loss_weights
     system = SmirkSystem(
         config, bundle, steps_per_epoch=steps_per_epoch, templates=templates,
-        vgg_variables=_maybe_vgg(config),
+        vgg_variables=(
+            teachers.load_vgg_teacher(os.environ.get("SMIRK_VGG16"))
+            if w.perceptual_vgg_loss > 0 else None),
+        emotion_variables=(
+            teachers.load_emotion_teacher(
+                os.environ.get("SMIRK_EMOTION",
+                               "assets/ResNet50/emotion_checkpoint.ckpt"))
+            if w.emotion_loss > 0 else None),
+        mica_variables=(
+            teachers.load_mica_teacher(
+                os.environ.get("SMIRK_MICA", "assets/mica.tar"))
+            if w.mica_loss > 0 else None),
     )
     state = system.init_state(jax.random.PRNGKey(0))
     if config.resume:
@@ -116,24 +130,6 @@ def _load_templates(config):
         params = np.load(npy, allow_pickle=True).item()
         rows.append(np.asarray(params["expression"]).squeeze())
     return np.stack(rows) if rows else None
-
-
-def _maybe_vgg(config):
-    """Load converted torchvision vgg16 weights when provided via env."""
-    path = os.environ.get("SMIRK_VGG16")
-    if not path or config.train.loss_weights.perceptual_vgg_loss <= 0:
-        return None
-    import jax
-    import jax.numpy as jnp
-    import torch
-
-    from smirk_tpu.models.vgg import VGG16Features
-    from smirk_tpu.utils import importer
-
-    sd = {k: v for k, v in torch.load(path, map_location="cpu").items()}
-    model = VGG16Features()
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
-    return importer.import_state_dict(sd, variables)
 
 
 if __name__ == "__main__":
