@@ -19,7 +19,11 @@ class MixedDatasetSampler:
     """Per-batch quotas from dataset ratios (mixed_dataset_sampler.py:7-55)."""
 
     def __init__(self, dataset_sizes: Sequence[int], ratios: Sequence[float],
-                 batch_size: int, n_samples: int, seed: int = 0):
+                 batch_size: int, n_samples: int, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        """Multi-host SPMD: each process draws its own per-host batch slice
+        (seeded by process_index) of the global batch; `batch_size` here is
+        the PER-HOST batch."""
         sizes = [s for s in dataset_sizes]
         ratios = np.asarray(ratios, np.float64)
         ratios = ratios / ratios.sum()
@@ -27,8 +31,8 @@ class MixedDatasetSampler:
         per_batch[0] = batch_size - per_batch[1:].sum()
         self.sizes = sizes
         self.per_batch = per_batch
-        self.n_batches = n_samples // batch_size
-        self.rng = np.random.default_rng(seed)
+        self.n_batches = n_samples // (batch_size * process_count)
+        self.rng = np.random.default_rng(seed * 7919 + process_index)
 
     def __len__(self):
         return self.n_batches
@@ -198,9 +202,16 @@ def load_dataloaders(config, synthetic: bool = False):
             "zero-data pipeline"
         )
     train = ConcatDataset(parts)
+    try:
+        import jax
+
+        pidx, pcount = jax.process_index(), jax.process_count()
+    except Exception:
+        pidx, pcount = 0, 1
     sampler = MixedDatasetSampler(
         [len(p) for p in parts], ratios, config.train.batch_size,
         config.train.samples_per_epoch,
+        process_index=pidx, process_count=pcount,
     )
     train_loader = DataLoader(train, sampler, config.train.num_workers)
     val_loader = None
