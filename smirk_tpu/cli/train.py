@@ -109,6 +109,14 @@ def _np_or_none(x):
     return None if x is None else np.asarray(x)
 
 
+def _save_config_snapshot(config, log_path):
+    import dataclasses
+    import json
+
+    with open(os.path.join(log_path, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(config), f, indent=2)
+
+
 def _load_templates(config):
     """FaMoS expression templates (utils/utils.py:5-25); None if absent."""
     import glob
@@ -134,11 +142,3 @@ def _load_templates(config):
 
 if __name__ == "__main__":
     main()
-
-
-def _save_config_snapshot(config, log_path):
-    import dataclasses
-    import json
-
-    with open(os.path.join(log_path, "config.json"), "w") as f:
-        json.dump(dataclasses.asdict(config), f, indent=2)

@@ -443,9 +443,11 @@ class SmirkSystem:
         }
         feats = self._augment_feats(k_aug, feats, Ke)
 
-        # no-grad renders: original (for point sampling) + augmented
+        # no-grad render of the augmented params (smirk_trainer.py:251-259);
+        # inference=True uses the fused non-differentiable raster on TPU —
+        # valid here because the cycle path detaches the render anyway
         flame2 = self.flame(feats)
-        rend2 = self.renderer(flame2["vertices"], feats["cam"])
+        rend2 = self.renderer(flame2["vertices"], feats["cam"], inference=True)
         rendered_img_2nd = jax.lax.stop_gradient(rend2["rendered_img"])
 
         points1, coords = masking_lib.sample_mesh_points(
