@@ -147,11 +147,13 @@ def bin_faces(
 
     # compact each tile's overlapping face ids to the first `capacity` slots.
     # top_k (partial sort) instead of cumsum+scatter: scatters serialize on
-    # TPU (measured 60ms/batch64); key orders overlapping faces by ascending
-    # face id, exactly matching the sequential z-tie semantics.
-    key = overlap.astype(jnp.int32) * (2 * F) - jnp.arange(
-        F, dtype=jnp.int32
-    )[None, None, :]
+    # TPU (measured 60ms/batch64). Faces are prioritized NEAR-TO-FAR (z rank)
+    # so that when a bin overflows its capacity, the dropped faces are the
+    # farthest — overwhelmingly occluded — ones, keeping overflow artifacts
+    # negligible (PyTorch3D's max_faces_per_bin overflow drops arbitrarily).
+    zmean = face_verts[..., 2].mean(-1)  # (B,F)
+    zrank = jnp.argsort(jnp.argsort(zmean, axis=-1), axis=-1).astype(jnp.int32)
+    key = overlap.astype(jnp.int32) * (2 * F) - zrank[:, None, :]
     k = min(capacity, F)
     vals, idx = jax.lax.top_k(key, k)  # (B,T,k)
     valid = vals > 0

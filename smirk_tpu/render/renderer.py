@@ -109,23 +109,19 @@ class Renderer:
             sub_v, self.faces, self._inc_face, self._inc_corner
         )  # (B,Vf,3)
         face_normals = geometry.face_vertices(normals, self.faces)  # (B,F,3,3)
-        face_colors = jnp.broadcast_to(
-            self.face_colors[None], (B,) + self.face_colors.shape
-        )
-        attributes = jnp.concatenate([face_colors, face_normals], axis=-1)
 
         face_verts = geometry.face_vertices(sub_tv, self.faces)  # (B,F,3,3)
+        # albedo is a constant gray (renderer.py:63), so only the normal
+        # attribute needs per-pixel interpolation — halves the gather traffic
         pixel_vals, mask, pix_to_face = raster_lib.rasterize(
             face_verts,
-            attributes,
+            face_normals,
             self.image_size,
             capacity=self.bin_capacity,
             use_pallas=self.use_pallas,
         )
-        albedo = pixel_vals[..., :3]
-        normal_images = pixel_vals[..., 3:6]
-        shade = shading.directional_shading(normal_images)
-        return albedo * shade, mask, pix_to_face
+        shade = shading.directional_shading(pixel_vals)
+        return shading.GRAY_ALBEDO * shade * mask, mask, pix_to_face
 
     def render_inference(self, vertices, transformed_vertices):
         """Gather-free inference render via the fused Pallas kernel
@@ -145,6 +141,7 @@ class Renderer:
         normal_img, pix_to_face, _ = raster_lib.rasterize_normals_fused(
             face_verts, face_normals, self.image_size,
             capacity=self.bin_capacity,
+            interpret=jax.default_backend() == "cpu",
         )
         mask = (pix_to_face >= 0)[..., None].astype(normal_img.dtype)
         shade = shading.directional_shading(normal_img)

@@ -80,14 +80,14 @@ def test_pallas_interpret_matches_jnp():
     )
 
 
-def test_bin_capacity_overflow_drops_extra_faces():
-    # 10 identical stacked triangles, capacity 4: kernel sees only first 4,
-    # front-most among them must win.
+def test_bin_capacity_overflow_drops_farthest_faces():
+    # 10 stacked triangles, capacity 4: z-priority binning keeps the 4
+    # CLOSEST faces, so the true winner (z=0.5, id 9) still renders.
     tris = [[[-0.9, -0.9, float(z)], [0.9, -0.9, float(z)], [0.0, 0.9, float(z)]]
             for z in [9, 8, 7, 6, 5, 4, 3, 2, 1, 0.5]]
     fv = make_face_verts(tris)
     p2f, _ = R.rasterize_coverage_pallas(fv, 16, capacity=4, interpret=True)
-    assert np.asarray(p2f)[0, 8, 8] == 3  # z=6 is closest among first 4
+    assert np.asarray(p2f)[0, 8, 8] == 9  # closest face survives overflow
 
 
 def test_interpolation_reproduces_affine_attribute():
@@ -232,4 +232,39 @@ def test_fused_normals_matches_separate_path():
     vals, mask = R.interpolate_attributes(p2f_ref, fv, fn)
     np.testing.assert_allclose(
         np.asarray(nimg), np.asarray(vals), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_renderer_inference_matches_differentiable():
+    """Renderer.render vs render_inference (fused kernel) on the real face."""
+    from smirk_tpu import assets
+    from smirk_tpu.flame import FlameModel
+    from smirk_tpu.render.renderer import Renderer
+
+    bundle = assets.load_all()
+    flame = FlameModel(bundle)
+    # 64px tiles span the whole face -> bins need room for most of the mesh
+    rend = Renderer(bundle, image_size=64, use_pallas=True, bin_capacity=3456)
+    rend_ref = Renderer(bundle, image_size=64, use_pallas=False)
+
+    B = 1
+    params = {
+        "shape_params": jnp.zeros((B, 300)),
+        "expression_params": jnp.zeros((B, 50)),
+        "pose_params": jnp.zeros((B, 3)),
+        "jaw_params": jnp.zeros((B, 3)),
+        "eyelid_params": jnp.zeros((B, 2)),
+    }
+    out = flame(params)
+    face_v = np.asarray(out["vertices"])[:, rend.kept_vertices]
+    c = face_v.mean(axis=(0, 1))
+    cam = jnp.asarray([[7.0, -c[0], -c[1]]])
+    a = rend(out["vertices"], cam, inference=True)
+    b = rend_ref(out["vertices"], cam)
+    np.testing.assert_array_equal(
+        np.asarray(a["rendered_mask"]), np.asarray(b["rendered_mask"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["rendered_img"]), np.asarray(b["rendered_img"]),
+        atol=2e-4,
     )
