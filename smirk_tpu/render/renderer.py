@@ -30,11 +30,10 @@ class Renderer:
         bundle: Dict[str, np.ndarray],
         render_full_head: bool = False,
         image_size: int = 224,
-        bin_capacity: int = 512,
+        bin_capacity: Optional[int] = None,
         use_pallas: Optional[bool] = None,
     ):
         self.image_size = image_size
-        self.bin_capacity = bin_capacity
         self.use_pallas = use_pallas
 
         faces = np.asarray(bundle["faces"], np.int64)
@@ -60,6 +59,15 @@ class Renderer:
         # constant gray albedo per corner (reference renderer.py:63,80-81)
         colors = np.full((self.num_render_verts, 3), shading.GRAY_ALBEDO, np.float32)
         self.face_colors = jnp.asarray(colors[render_faces])  # (F,3,3)
+
+        if bin_capacity is None:
+            # auto: ~4x the uniform faces-per-tile average (z-priority keeps
+            # the closest on overflow), capped at the full face count
+            F = len(render_faces)
+            tiles = max(1, -(-image_size // 8) * -(-image_size // 128))
+            need = max(512, -(-4 * F // tiles // 32) * 32)
+            bin_capacity = min(-(-F // 32) * 32, need)
+        self.bin_capacity = bin_capacity
 
     def project(self, vertices: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
         """Full-mesh NDC vertices (y/z flipped), reference renderer.py:101-102."""
