@@ -39,3 +39,11 @@ def test_export_import_roundtrip():
     for a, b in zip(jax.tree_util.tree_leaves(v),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_ops_namespace_imports():
+    import smirk_tpu.ops as ops
+
+    for name in ("rasterize", "lbs", "compose_mask", "directional_shading",
+                 "batch_orth_proj", "rasterize_normals_fused"):
+        assert hasattr(ops, name), name
