@@ -268,3 +268,34 @@ def test_renderer_inference_matches_differentiable():
         np.asarray(a["rendered_img"]), np.asarray(b["rendered_img"]),
         atol=2e-4,
     )
+
+
+def test_interpolate_fast_gradients_match_plain():
+    """Custom-VJP interpolation == autodiff interpolation (values + grads)."""
+    rng = np.random.default_rng(9)
+    fv = random_mesh(rng, F=40, B=2)
+    attr = jnp.asarray(rng.normal(0, 1, (2, 40, 3, 3)).astype(np.float32))
+    size, cap = 32, 64
+    p2f, _, p2slot, bins = R.rasterize_coverage_pallas_v3_full(
+        fv, size, capacity=cap, interpret=True
+    )
+
+    def loss_plain(f, a):
+        vals, _ = R.interpolate_attributes(p2f, f, a)
+        return jnp.sum(jnp.sin(vals) * vals)
+
+    def loss_fast(f, a):
+        vals, _ = R.interpolate_attributes_fast(
+            f, a, p2f, p2slot, bins, size, cap, True
+        )
+        return jnp.sum(jnp.sin(vals) * vals)
+
+    np.testing.assert_allclose(
+        float(loss_plain(fv, attr)), float(loss_fast(fv, attr)), rtol=1e-6
+    )
+    g1 = jax.grad(loss_plain, argnums=(0, 1))(fv, attr)
+    g2 = jax.grad(loss_fast, argnums=(0, 1))(fv, attr)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
