@@ -84,10 +84,6 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
     return ".".join(out + [_LEAF_TO_TORCH[leaf]])
 
 
-def _is_depthwise_or_conv(path) -> bool:
-    return path[-1] == "kernel"
-
-
 def import_state_dict(
     state_dict: Mapping[str, Any],
     flax_variables: Dict[str, Any],
