@@ -147,13 +147,22 @@ def bin_faces(
 
     # compact each tile's overlapping face ids to the first `capacity` slots.
     # top_k (partial sort) instead of cumsum+scatter: scatters serialize on
-    # TPU (measured 60ms/batch64). Faces are prioritized NEAR-TO-FAR (z rank)
-    # so that when a bin overflows its capacity, the dropped faces are the
-    # farthest — overwhelmingly occluded — ones, keeping overflow artifacts
-    # negligible (PyTorch3D's max_faces_per_bin overflow drops arbitrarily).
+    # TPU (measured 60ms/batch64). Faces are prioritized NEAR-TO-FAR so that
+    # when a bin overflows its capacity, the dropped faces are the farthest —
+    # overwhelmingly occluded — ones, keeping overflow artifacts negligible
+    # (PyTorch3D's max_faces_per_bin overflow drops arbitrarily). Depth
+    # priority uses quantized z buckets + face id as tiebreak (exact argsort
+    # ranks cost ~3ms/batch64 in XLA sorts); the id tiebreak keeps the
+    # sequential first-face-wins semantics within a bucket.
     zmean = face_verts[..., 2].mean(-1)  # (B,F)
-    zrank = jnp.argsort(jnp.argsort(zmean, axis=-1), axis=-1).astype(jnp.int32)
-    key = overlap.astype(jnp.int32) * (2 * F) - zrank[:, None, :]
+    zlo = zmean.min(-1, keepdims=True)
+    zhi = zmean.max(-1, keepdims=True)
+    NB = 255
+    zbucket = jnp.clip(
+        ((zmean - zlo) / jnp.maximum(zhi - zlo, 1e-12) * NB), 0, NB
+    ).astype(jnp.int32)  # (B,F), 0 = closest
+    prio = zbucket * F + jnp.arange(F, dtype=jnp.int32)[None]  # unique
+    key = overlap.astype(jnp.int32) * ((NB + 2) * F) - prio[:, None, :]
     k = min(capacity, F)
     vals, idx = jax.lax.top_k(key, k)  # (B,T,k)
     valid = vals > 0
