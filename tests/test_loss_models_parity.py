@@ -150,3 +150,45 @@ def test_vgg_features_parity():
         np.testing.assert_allclose(
             np.asarray(a), b.transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4
         )
+
+
+def test_teacher_loaders_roundtrip(tmp_path, monkeypatch):
+    """teachers.load_* consume the released checkpoint FORMATS correctly
+    (reduced-depth fakes with the exact key layouts)."""
+    arcface = sys.modules.get("src.models.MICA.arcface") or _load_ref(
+        "src/models/MICA/arcface.py", "src.models.MICA.arcface"
+    )
+    mica_mod = _load_ref("src/models/MICA/mica.py", "ref_mica2")
+    resnet = _load_ref("src/losses/resnet.py", "ref_resnet2")
+
+    from smirk_tpu.models import emoca_resnet, mica as fmica, teachers
+
+    monkeypatch.setattr(fmica, "IRESNET100_LAYERS", [1, 1, 1, 1])
+    monkeypatch.setattr(emoca_resnet, "LAYERS_R50", [1, 1, 1, 1])
+
+    torch.manual_seed(3)
+    # mica.tar format: {'arcface': sd, 'flameModel': sd with regressor.* keys}
+    t_arc = arcface.IResNet(arcface.IBasicBlock, [1, 1, 1, 1])
+    t_map = mica_mod.MappingNetwork(512, 300, 300, hidden=3)
+    mica_tar = {
+        "arcface": t_arc.state_dict(),
+        "flameModel": {f"regressor.{k}": v for k, v in
+                       t_map.state_dict().items()},
+    }
+    p1 = str(tmp_path / "mica.tar")
+    torch.save(mica_tar, p1)
+    v = teachers.load_mica_teacher(p1)
+    assert v is not None and "params" in v
+
+    # EMOCA ckpt format: {'state_dict': {'backbone.*': ...}}
+    t_r50 = resnet.ResNet(resnet.Bottleneck, [1, 1, 1, 1],
+                          include_top=True, emoca_specific=True)
+    ckpt = {"state_dict": {f"backbone.{k}": v for k, v in
+                           t_r50.state_dict().items()}}
+    p2 = str(tmp_path / "emotion.ckpt")
+    torch.save(ckpt, p2)
+    v2 = teachers.load_emotion_teacher(p2)
+    assert v2 is not None and "batch_stats" in v2
+
+    assert teachers.load_mica_teacher(None) is None
+    assert teachers.load_vgg_teacher(str(tmp_path / "missing.pth")) is None
