@@ -97,3 +97,16 @@ def test_synthetic_loader_end_to_end():
         if n >= 2:
             break
     assert n == 2
+
+
+def test_landmarks_interpolate_tracks():
+    from smirk_tpu.data.tracks import landmarks_interpolate
+
+    a = np.array([[0.0, 0.0]])
+    c = np.array([[4.0, 8.0]])
+    track = [a, None, None, None, c, None]
+    out = landmarks_interpolate(list(track))
+    assert all(x is not None for x in out)
+    np.testing.assert_allclose(out[2], [[2.0, 4.0]])  # linear gap fill
+    np.testing.assert_allclose(out[5], c)  # tail extension
+    assert landmarks_interpolate([None, None]) is None
