@@ -62,10 +62,12 @@ class Renderer:
 
         if bin_capacity is None:
             # auto: ~4x the uniform faces-per-tile average (z-priority keeps
-            # the closest on overflow), capped at the full face count
+            # the closest on overflow), capped at the full face count.
+            # Floor 384 measured on the face mesh at 224px: coverage equal to
+            # cap-512, mean pixel diff 3e-4, 2389 vs 2097 fps.
             F = len(render_faces)
             tiles = max(1, -(-image_size // 8) * -(-image_size // 128))
-            need = max(512, -(-4 * F // tiles // 32) * 32)
+            need = max(384, -(-4 * F // tiles // 32) * 32)
             bin_capacity = min(-(-F // 32) * 32, need)
         self.bin_capacity = bin_capacity
 
