@@ -163,6 +163,32 @@ def main(argv=None):
     if fps_time > 0:
         print(f"device fps: {fps_frames / fps_time:.1f} "
               f"({fps_frames} frames, {fps_time:.2f}s device time)")
+    _assemble_mp4(args.out_path)
+
+
+def _assemble_mp4(out_dir: str) -> None:
+    """Join the written frame panels into grid.mp4 when cv2 is available
+    (reference demo_video.py writes an mp4 directly)."""
+    try:
+        import cv2
+    except ImportError:
+        return
+    frames = sorted(
+        f for f in os.listdir(out_dir)
+        if f.startswith("frame_") and f.endswith(".jpg")
+    )
+    if not frames:
+        return
+    first = cv2.imread(os.path.join(out_dir, frames[0]))
+    h, w = first.shape[:2]
+    vw = cv2.VideoWriter(
+        os.path.join(out_dir, "grid.mp4"),
+        cv2.VideoWriter_fourcc(*"mp4v"), 25, (w, h),
+    )
+    for f in frames:
+        vw.write(cv2.imread(os.path.join(out_dir, f)))
+    vw.release()
+    print("wrote", os.path.join(out_dir, "grid.mp4"))
 
 
 if __name__ == "__main__":
