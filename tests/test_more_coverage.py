@@ -123,7 +123,9 @@ def test_demo_video_frame_dir(tmp_path, monkeypatch):
         "--out_path", str(out),
         "--batch", "2",
     ])
-    written = sorted(os.listdir(out))
-    assert len(written) == 5
-    panel = np.asarray(Image.open(out / written[0]))
+    frames_out = sorted(f for f in os.listdir(out) if f.endswith(".jpg"))
+    assert len(frames_out) == 5
+    if any(f.endswith(".mp4") for f in os.listdir(out)):
+        assert os.path.getsize(out / "grid.mp4") > 0
+    panel = np.asarray(Image.open(out / frames_out[0]))
     assert panel.shape[1] == 2 * panel.shape[0]  # [crop | render]
