@@ -27,7 +27,12 @@ from smirk_tpu.utils import importer  # noqa: E402
 
 def _load_ref(relpath, name):
     for mod in ("cv2",):
-        sys.modules.setdefault(mod, types.ModuleType(mod))
+        # stub only if genuinely missing — a fake module would shadow the
+        # real one for every later test in the process
+        try:
+            __import__(mod)
+        except ImportError:
+            sys.modules.setdefault(mod, types.ModuleType(mod))
     for pkg in ("src", "src.FLAME", "src.renderer", "src.utils", "src.losses",
                 "src.models", "src.models.MICA"):
         if pkg not in sys.modules:
