@@ -108,22 +108,43 @@ def main():
 
 
 def _run_reference(img, checkpoint):
-    """Run the reference torch encoder+FLAME when its stack is available."""
+    """Run the reference torch encoder+FLAME when its stack is available
+    (needs timm + the FLAME2020 pkl; see tools/make_reference_outputs.py)."""
     try:
-        import importlib.util
-        import types
-
+        import timm  # noqa: F401  (reference encoder needs it)
         import torch
 
+        from make_reference_outputs import load_reference_modules
+
         REF = "/root/reference"
-        if not os.path.isdir(REF):
+        if not os.path.isfile(
+            os.path.join(REF, "assets/FLAME2020/generic_model.pkl")
+        ):
             return None
-        import timm  # noqa: F401  (reference encoder needs it)
+        flame_mod, enc_mod = load_reference_modules()
+        cwd = os.getcwd()
+        os.chdir(REF)
+        try:
+            encoder = enc_mod.SmirkEncoder()
+            sd = torch.load(os.path.join(cwd, checkpoint), map_location="cpu")
+            encoder.load_state_dict(
+                {k.replace("smirk_encoder.", ""): v for k, v in sd.items()
+                 if k.startswith("smirk_encoder.")}
+            )
+            encoder.eval()
+            flame = flame_mod.FLAME()
+            with torch.no_grad():
+                t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+                out = encoder(t)
+                fo = flame.forward(out)
+        finally:
+            os.chdir(cwd)
+        ref = {k: v.numpy() for k, v in out.items()}
+        ref["vertices"] = fo["vertices"].numpy()
+        ref["landmarks_mp"] = fo["landmarks_mp"].numpy()
+        return ref
     except ImportError:
         return None
-    # (full reference execution also requires the FLAME2020 pkl; the smirk
-    # encoders are instantiable only with timm present)
-    return None  # extended in a follow-up round once assets are installed
 
 
 if __name__ == "__main__":
