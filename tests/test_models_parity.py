@@ -89,6 +89,115 @@ def test_encoder_parity(arch_key, monkeypatch):
         )
 
 
+# timm arch-definition strings for the two "minimal" variants
+# (timm mobilenetv3.py _gen_mobilenet_v3, 'minimal' branches). Kept as DATA:
+# an independent spelling of the architecture that the repo's precomputed
+# tables must decode to. Catches a wrong expansion/stride/count in any row.
+TIMM_SMALL_MINIMAL_SPEC = [
+    ["ds_r1_k3_s2_e1_c16"],
+    ["ir_r1_k3_s2_e4.5_c24", "ir_r1_k3_s1_e3.67_c24"],
+    ["ir_r1_k3_s2_e4_c40", "ir_r2_k3_s1_e6_c40"],
+    ["ir_r2_k3_s1_e3_c48"],
+    ["ir_r3_k3_s2_e6_c96"],
+    ["cn_r1_k1_s1_c576"],
+]
+TIMM_LARGE_MINIMAL_SPEC = [
+    ["ds_r1_k3_s1_e1_c16"],
+    ["ir_r1_k3_s2_e4_c24", "ir_r1_k3_s1_e3_c24"],
+    ["ir_r3_k3_s2_e3_c40"],
+    ["ir_r1_k3_s2_e6_c80", "ir_r1_k3_s1_e2.5_c80", "ir_r2_k3_s1_e2.3_c80"],
+    ["ir_r2_k3_s1_e6_c112"],
+    ["ir_r3_k3_s2_e6_c160"],
+    ["cn_r1_k1_s1_c960"],
+]
+
+
+def _make_divisible(v, divisor=8, round_limit=0.9):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < round_limit * v:
+        new_v += divisor
+    return new_v
+
+
+def _decode_timm_spec(spec, stem_chs=16):
+    """timm block-string decoder -> [(btype, exp_chs, out_chs, stride)] stages."""
+    stages, in_chs = [], stem_chs
+    for stage_spec in spec:
+        stage = []
+        for block in stage_spec:
+            parts = dict(
+                (p[:1], p[1:]) for p in block.split("_")
+            )  # {'d': 's'|..., 'r': n, 'k': k, 's': s, 'e': ratio, 'c': out}
+            btype = block.split("_")[0]
+            repeats = int(parts["r"])
+            stride = int(parts["s"])
+            out_chs = int(parts["c"])
+            exp_ratio = float(parts["e"]) if "e" in parts else 0.0
+            for i in range(repeats):
+                exp = _make_divisible(in_chs * exp_ratio) if btype == "ir" else (
+                    in_chs if btype == "ds" else 0
+                )
+                stage.append((btype, exp if btype == "ir" else (exp if btype == "ds" else 0),
+                              out_chs, stride if i == 0 else 1))
+                in_chs = out_chs
+        stages.append(stage)
+    return stages
+
+
+def test_arch_tables_match_timm_spec():
+    """The precomputed SMALL/LARGE tables decode exactly from timm's specs.
+
+    An error in any row (wrong expansion count, stride, residual condition)
+    fails here even though the torch twin is built from the same tables.
+    """
+    small = _decode_timm_spec(TIMM_SMALL_MINIMAL_SPEC)
+    # ds blocks carry exp==in_chs implicitly; repo tables record exp==in_chs
+    # for 'ds' and 0 for 'cn'
+    assert len(small) == len(SMALL_MINIMAL)
+    for got, want in zip(small, SMALL_MINIMAL):
+        assert got == list(want), (got, want)
+
+    large = _decode_timm_spec(TIMM_LARGE_MINIMAL_SPEC)
+    assert len(large) == len(LARGE_MINIMAL)
+    for got, want in zip(large, LARGE_MINIMAL):
+        assert got == list(want), (got, want)
+
+
+def test_encoder_parity_fullsize():
+    """Full-size (real tables) torch-twin forward parity at 224px.
+
+    Covers what the tiny-table test cannot: TF-SAME asymmetric padding on the
+    real 224->7 stride pyramid, every full-size stage row, residual/skip
+    conditions at real channel counts, and the importer key map over all 31
+    blocks x 3 encoders. Reference head semantics per smirk_encoder.py:14-110.
+    """
+    gen = torch.Generator().manual_seed(7)
+    torch.manual_seed(7)
+    tmodel = SmirkEncoderTorch(SMALL_MINIMAL, LARGE_MINIMAL,
+                               n_shape=300, n_exp=50)
+    with torch.no_grad():
+        randomize_bn_stats(tmodel, gen)
+        for sub in (tmodel.pose_encoder.pose_cam_layers,
+                    tmodel.shape_encoder.shape_layers,
+                    tmodel.expression_encoder.expression_layers):
+            sub[0].weight.data.normal_(0, 0.05, generator=gen)
+            sub[0].bias.data.normal_(0, 0.05, generator=gen)
+
+    x = np.random.default_rng(7).random((1, 3, 224, 224), np.float32)
+    fmodel = SmirkEncoder(n_exp=50, n_shape=300)
+    out_t, out_f = _forward_pair(tmodel, fmodel, x)
+
+    for key in ["pose_params", "cam", "shape_params", "expression_params",
+                "eyelid_params", "jaw_params"]:
+        np.testing.assert_allclose(
+            np.asarray(out_f[key]),
+            out_t[key].numpy(),
+            rtol=1e-3,
+            atol=1e-4,
+            err_msg=key,
+        )
+
+
 def test_full_backbone_shapes():
     """Real (non-tiny) arch tables produce timm's documented feature dims."""
     import jax
