@@ -14,7 +14,7 @@ Layout:
   train/     pure pjit-able train step, optax two-optimizer setup
   data/      host-side input pipeline (fixed-shape batches for jit)
   parallel/  device mesh + sharding helpers
-  utils/     checkpointing (orbax), torch-checkpoint importer, metrics, viz
+  utils/     checkpointing (orbax async + npz), torch importer, metrics, viz
 """
 
 __version__ = "0.1.0"

@@ -15,7 +15,12 @@ import numpy as np
 
 
 def build_system(checkpoint: Optional[str], use_generator: bool):
+    import os
+
     import jax
+
+    if os.environ.get("SMIRK_PLATFORM"):  # see cli/train.py
+        jax.config.update("jax_platforms", os.environ["SMIRK_PLATFORM"])
 
     from smirk_tpu import assets
     from smirk_tpu.config import Config

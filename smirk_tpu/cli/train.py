@@ -26,7 +26,17 @@ def main(argv=None):
 
     import jax
 
+    # explicit platform override (some environments register a TPU plugin
+    # that wins over the JAX_PLATFORMS env var): SMIRK_PLATFORM=cpu forces
+    # the CPU backend even there
+    if os.environ.get("SMIRK_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SMIRK_PLATFORM"])
+
     from smirk_tpu import assets, parallel
+
+    # multi-host entry (SURVEY §2.4): must run before any device op;
+    # single-process runs are a no-op
+    parallel.initialize_distributed()
     from smirk_tpu.config import load_config
     from smirk_tpu.data import load_dataloaders
     from smirk_tpu.train import SmirkSystem
@@ -95,7 +105,7 @@ def main(argv=None):
                     grid = viz.training_grid(
                         jax.tree_util.tree_map(np.asarray, batch),
                         {k: _np_or_none(v) for k, v in extra.items()},
-                        show_landmarks=False,
+                        show_landmarks=True,
                     )
                     viz.save_image(grid, os.path.join(
                         log_path, f"{phase}_images/{epoch}_{batch_idx}.jpg"))
@@ -103,6 +113,7 @@ def main(argv=None):
             ckpt.save_model(state, os.path.join(log_path, f"model_{epoch}.npz"))
             ckpt.save_state(state, os.path.join(log_path, "last_state.npz"))
     logger.close()
+    ckpt.finalize()  # block on pending async orbax saves
 
 
 def _np_or_none(x):

@@ -67,8 +67,10 @@ class EmocaResNet50(nn.Module):
                 ds = bi == 0 and (s != 1 or inplanes != planes * 4)
                 x = Bottleneck(planes, s, ds, name=f"layer{li+1}_{bi}")(x, train)
                 inplanes = planes * 4
-        x = nn.avg_pool(x, (7, 7), strides=(1, 1))
-        return x.reshape(x.shape[0], -1)
+        # reference: AvgPool2d(7) on the 7x7 stride-32 map (resnet.py) —
+        # identical to a global mean at 224px input, and the global mean
+        # also works for non-224 sizes (tests run reduced-depth twins small)
+        return x.mean(axis=(1, 2))
 
 
 def emotion_embedding_distance(variables, gen, tar, metric="l2"):

@@ -11,6 +11,7 @@ largest layer is a 960->300 dense).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -19,6 +20,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def initialize_distributed() -> int:
+    """Multi-host entry: jax.distributed.initialize() per process.
+
+    The SURVEY §2.4/§5 plan for scaling past one host: each process calls
+    this before any device op, then builds the global mesh from
+    jax.devices() and feeds its host-local batch shard (the sampler takes
+    process_index/process_count). Activation rules:
+
+    * explicit env (any launcher): JAX_COORDINATOR_ADDRESS +
+      JAX_NUM_PROCESSES + JAX_PROCESS_ID;
+    * TPU pod slices: jax.distributed.initialize() auto-detects from the
+      TPU metadata when SMIRK_DISTRIBUTED=1 is set.
+
+    Returns jax.process_count(). No-op (returns 1) for single-process runs,
+    so single-host training needs no flags.
+    """
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        missing = [k for k in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+                   if k not in os.environ]
+        if missing:
+            raise RuntimeError(
+                "JAX_COORDINATOR_ADDRESS is set but "
+                f"{' and '.join(missing)} are not; all three are required "
+                "for multi-process initialization"
+            )
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    elif os.environ.get("SMIRK_DISTRIBUTED") == "1":
+        jax.distributed.initialize()  # TPU pod auto-detection
+    return jax.process_count()
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:

@@ -376,11 +376,19 @@ def rasterize(
     """Full differentiable raster: coverage (stop-grad) + interpolation.
 
     Returns (pixel_vals (B,H,W,D), mask (B,H,W,1), pix_to_face (B,H,W)).
-    On the Pallas path, interpolation uses the custom-VJP variant whose
-    backward reduces pixel grads to faces with a tiled one-hot matmul.
+    On the Pallas path the fused plane kernel evaluates coverage AND the
+    interpolated attribute values in one pass (no per-pixel gathers); its
+    custom-VJP backward reduces pixel-grad moments to faces with a tiled
+    one-hot matmul.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    D = attributes.shape[-1]
+    if use_pallas and 13 + 3 * D <= REC5_LANES:
+        interpret = jax.default_backend() in ("cpu",)
+        return rasterize_planes_diff(
+            face_verts, attributes, image_size, capacity, interpret
+        )
     if use_pallas:
         interpret = jax.default_backend() in ("cpu",)
         p2f, _, p2slot, bins = rasterize_coverage_pallas_v3_full(
@@ -601,16 +609,16 @@ def rasterize_coverage_pallas_v3_full(
 RECF_LANES = 32  # [9 edge | 3 zplane | fid | pad | 9 normal-plane | pad]
 
 
-def face_records_shaded(
-    face_verts: jnp.ndarray, face_normals: jnp.ndarray
-) -> jnp.ndarray:
-    """(B,F,3,3) verts + (B,F,3,3) corner normals -> (B,F,32) records.
+def attr_planes(face_verts: jnp.ndarray, attributes: jnp.ndarray) -> jnp.ndarray:
+    """Per-face affine plane coefficients of interpolated attributes.
 
-    Lanes 0-12 as face_records; lanes 16-24 hold the affine normal plane
-    n_k(p) = NA_k*x + NB_k*y + NC_k (barycentric interpolation of corner
-    normals is affine over the face).
+    (B,F,3,3) verts + (B,F,3,D) per-corner attributes -> (B,F,3D) laid out
+    [PA(D) | PB(D) | PC(D)] with val_d(p) = PA_d*x + PB_d*y + PC_d. Since
+    w_i(p) = (a_i x + b_i y + c_i)/denom is affine in the pixel, barycentric
+    interpolation of corner attributes is affine over the face; gradients
+    through these coefficients equal the gradients of the barycentric
+    formulation (same function of (face_verts, attributes), re-associated).
     """
-    base = face_records(face_verts)  # (B,F,16)
     x0, y0 = face_verts[..., 0, 0], face_verts[..., 0, 1]
     x1, y1 = face_verts[..., 1, 0], face_verts[..., 1, 1]
     x2, y2 = face_verts[..., 2, 0], face_verts[..., 2, 1]
@@ -618,7 +626,6 @@ def face_records_shaded(
     denom = a0 * x0 + b0 * y0 + c0
     valid = jnp.abs(denom) >= AREA_EPS
     inv = 1.0 / jnp.where(valid, denom, 1.0)  # signed: w_i = e_i/denom
-    # w_i(p) = (a_i x + b_i y + c_i)/denom; n(p) = sum_i w_i n_i
     coeffs = jnp.stack(
         [
             y1 - y2, x2 - x1, x1 * y2 - y1 * x2,
@@ -627,14 +634,26 @@ def face_records_shaded(
         ],
         -1,
     ) * inv[..., None]  # (B,F,9): [a0 b0 c0 a1 b1 c1 a2 b2 c2] / denom
-    n0, n1, n2 = face_normals[..., 0, :], face_normals[..., 1, :], face_normals[..., 2, :]
-    # NA_k = a0' n0k + a1' n1k + a2' n2k  etc.
-    NA = coeffs[..., 0:1] * n0 + coeffs[..., 3:4] * n1 + coeffs[..., 6:7] * n2
-    NB = coeffs[..., 1:2] * n0 + coeffs[..., 4:5] * n1 + coeffs[..., 7:8] * n2
-    NC = coeffs[..., 2:3] * n0 + coeffs[..., 5:6] * n1 + coeffs[..., 8:9] * n2
-    nplane = jnp.stack([NA, NB, NC], axis=-2).reshape(
-        face_verts.shape[:-2] + (9,)
-    )  # [NAx NAy NAz NBx ... NCz]
+    n0 = attributes[..., 0, :]
+    n1 = attributes[..., 1, :]
+    n2 = attributes[..., 2, :]
+    PA = coeffs[..., 0:1] * n0 + coeffs[..., 3:4] * n1 + coeffs[..., 6:7] * n2
+    PB = coeffs[..., 1:2] * n0 + coeffs[..., 4:5] * n1 + coeffs[..., 7:8] * n2
+    PC = coeffs[..., 2:3] * n0 + coeffs[..., 5:6] * n1 + coeffs[..., 8:9] * n2
+    return jnp.concatenate([PA, PB, PC], axis=-1)
+
+
+def face_records_shaded(
+    face_verts: jnp.ndarray, face_normals: jnp.ndarray
+) -> jnp.ndarray:
+    """(B,F,3,3) verts + (B,F,3,3) corner normals -> (B,F,32) records.
+
+    Lanes 0-12 as face_records; lanes 16-24 hold the affine normal plane
+    n_k(p) = NA_k*x + NB_k*y + NC_k. Plane layout from attr_planes (D=3):
+    [NAx NAy NAz | NBx NBy NBz | NCx NCy NCz].
+    """
+    base = face_records(face_verts)  # (B,F,16)
+    nplane = attr_planes(face_verts, face_normals)  # (B,F,9)
     pad = jnp.zeros(face_verts.shape[:-2] + (7,), face_verts.dtype)
     return jnp.concatenate([base, nplane, pad], axis=-1)
 
@@ -819,8 +838,9 @@ def segment_reduce_tiles(
 ) -> jnp.ndarray:
     """-> (B,Tp,C,CHN): per-tile per-bin-slot sums of per-pixel payloads."""
     B, Tp, P, CHN = gpx_tiles.shape
-    SC = min(128, capacity)
-    assert capacity % SC == 0
+    # largest power-of-two slot chunk that divides the capacity (capacities
+    # are multiples of V3_CHUNK=32, but not necessarily of 128)
+    SC = next(s for s in (128, 64, 32, 16, 8, 4, 2, 1) if capacity % s == 0)
     return pl.pallas_call(
         functools.partial(_segment_reduce_kernel, SC=SC),
         grid=(B, Tp // 8),
@@ -905,3 +925,193 @@ def _iaf_bwd(image_size, capacity, interpret, res, cts):
 
 
 interpolate_attributes_fast.defvjp(_iaf_fwd, _iaf_bwd)
+
+
+# --------------------------------------------------------------------------
+# Stage 2c: fused DIFFERENTIABLE raster (v5) — coverage + attribute-plane
+# evaluation in one kernel pass (the training twin of the v4 inference
+# kernel). Kills all per-pixel gathers: the forward evaluates per-face affine
+# attribute planes in-kernel; the custom-VJP backward segment-reduces the
+# per-pixel gradient moments [x*g, y*g, g] (the cotangent of an affine plane
+# is exactly its first moments) and chains through attr_planes with per-face
+# elementwise autodiff.
+# --------------------------------------------------------------------------
+
+REC5_LANES = 32  # [9 edge | 3 zplane | fid | PA(D) PB(D) PC(D) | pad], D<=6
+
+
+def _raster_kernel_v5(counts_ref, recs_ref, face_out, z_out, slot_out,
+                      *val_outs, H, W, TX, D):
+    """v3 coverage + in-kernel evaluation of D attribute planes."""
+    g = pl.program_id(1)
+    P = TILE_ROWS * TILE_COLS
+    CH = V3_CHUNK
+
+    prow = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // TILE_COLS
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
+    slot = jax.lax.broadcasted_iota(jnp.int32, (CH, P), 0)
+
+    for j in range(8):
+        t = g * 8 + j
+        ty = t // TX
+        tx = t % TX
+        xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
+        ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32) + 1.0 - H) / H
+
+        def chunk_body(k, carry, j=j, xs=xs, ys=ys):
+            bz, bfid, bslot, bvals = carry
+            off = pl.multiple_of(k * CH, CH)
+            rec = recs_ref[0, j, pl.ds(off, CH), :]  # (CH,REC5_LANES)
+            e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
+            e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
+            e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
+            z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
+            fid = rec[:, 12:13]
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
+            zm = jnp.where(inside, z, BIG_Z)
+            cz = jnp.min(zm, axis=0, keepdims=True)
+            cand = jnp.where(zm == cz, slot, CH)
+            best = jnp.min(cand, axis=0, keepdims=True)
+            oh = (slot == best).astype(jnp.float32)
+            cfid = jnp.sum(oh * fid, axis=0, keepdims=True)
+            cslot = (best + k * CH).astype(jnp.float32)
+            cvals = []
+            for d in range(D):
+                vd = (rec[:, 13 + d: 14 + d] * xs
+                      + rec[:, 13 + D + d: 14 + D + d] * ys
+                      + rec[:, 13 + 2 * D + d: 14 + 2 * D + d])
+                cvals.append(jnp.sum(oh * vd, axis=0, keepdims=True))
+            better = cz < bz  # earlier chunk wins ties (sequential order)
+            sel = lambda a, b: jnp.where(better, a, b)
+            return (sel(cz, bz), sel(cfid, bfid), sel(cslot, bslot),
+                    tuple(sel(cv, bv) for cv, bv in zip(cvals, bvals)))
+
+        n_chunks = (counts_ref[j, 0] + CH - 1) // CH
+        zero = jnp.zeros((1, P))
+        bz, bfid, bslot, bvals = jax.lax.fori_loop(
+            0, n_chunks, chunk_body,
+            (jnp.full((1, P), BIG_Z), jnp.full((1, P), -1.0),
+             jnp.full((1, P), -1.0), tuple(zero for _ in range(D))),
+        )
+        covered = bz < BIG_Z
+        face_out[0, j, :] = jnp.where(covered, bfid, -1.0)[0].astype(jnp.int32)
+        z_out[0, j, :] = jnp.where(covered, bz, BIG_Z)[0]
+        slot_out[0, j, :] = jnp.where(covered, bslot, -1.0)[0].astype(jnp.int32)
+        for d in range(D):
+            val_outs[d][0, j, :] = jnp.where(covered, bvals[d], 0.0)[0]
+
+
+def _v5_impl(face_verts, attributes, image_size, capacity, interpret):
+    """-> (vals (B,H,W,D), pix_to_face, zbuf, pix_to_slot, bins)."""
+    assert capacity % V3_CHUNK == 0
+    B, F = face_verts.shape[:2]
+    D = attributes.shape[-1]
+    assert 13 + 3 * D <= REC5_LANES, f"D={D} attribute channels exceed records"
+    H = W = image_size
+    ty = -(-H // TILE_ROWS)
+    tx = -(-W // TILE_COLS)
+    Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
+    T = ty * tx
+
+    bins, counts = bin_faces(face_verts, image_size, capacity)
+    Tp = bins.shape[1]
+    base = face_records(face_verts)[..., :13]
+    base = base.at[..., 12].set(jnp.arange(F, dtype=face_verts.dtype)[None])
+    planes = attr_planes(face_verts, attributes)  # (B,F,3D)
+    pad = jnp.zeros((B, F, REC5_LANES - 13 - 3 * D), face_verts.dtype)
+    records = jnp.concatenate([base, planes, pad], axis=-1)
+    recs = jax.vmap(lambda r, b: r[jnp.maximum(b, 0)])(
+        records, bins.reshape(B, -1)
+    ).reshape(B, Tp, capacity, REC5_LANES)
+    kill = jnp.zeros((REC5_LANES,), face_verts.dtype).at[2].set(-1.0).at[12].set(-1.0)
+    recs = jnp.where((bins < 0)[..., None], kill, recs)
+
+    P = TILE_ROWS * TILE_COLS
+    outs = pl.pallas_call(
+        functools.partial(_raster_kernel_v5, H=H, W=W, TX=tx, D=D),
+        grid=(B, Tp // 8),
+        in_specs=[
+            pl.BlockSpec((8, 1), lambda b, g, Tp=Tp: ((b * Tp + g * 8) // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, capacity, REC5_LANES),
+                         lambda b, g: (b, g, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, 8, P), lambda b, g: (b, g, 0))] * (3 + D),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Tp, P), jnp.int32),
+            jax.ShapeDtypeStruct((B, Tp, P), jnp.float32),
+            jax.ShapeDtypeStruct((B, Tp, P), jnp.int32),
+        ] + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * D,
+        interpret=interpret,
+    )(counts.reshape(B * Tp, 1), recs)
+
+    def to_image(x):
+        x = x[:, :T].reshape(B, ty, tx, TILE_ROWS, TILE_COLS)
+        return x.transpose(0, 1, 3, 2, 4).reshape(B, Hp, Wp)[:, :H, :W]
+
+    p2f = to_image(outs[0])
+    zbuf = to_image(outs[1])
+    p2slot = to_image(outs[2])
+    vals = jnp.stack([to_image(o) for o in outs[3:]], axis=-1)
+    return vals, p2f, zbuf, p2slot, bins
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def rasterize_planes_diff(
+    face_verts, attributes, image_size: int, capacity: int,
+    interpret: bool = False,
+):
+    """Fused differentiable raster: (vals (B,H,W,D), mask, pix_to_face).
+
+    Value- and gradient-equivalent to coverage + interpolate_attributes
+    (gradients to face_verts flow through the barycentrics only; coverage is
+    non-differentiable, as in PyTorch3D hard rasterization), but with no
+    per-pixel gathers in either direction.
+    """
+    vals, p2f, _, _, _ = _v5_impl(
+        jax.lax.stop_gradient(face_verts), jax.lax.stop_gradient(attributes),
+        image_size, capacity, interpret,
+    )
+    mask = (p2f >= 0)[..., None].astype(vals.dtype)
+    return vals, mask, p2f
+
+
+def _rpd_fwd(face_verts, attributes, image_size, capacity, interpret):
+    vals, p2f, _, p2slot, bins = _v5_impl(
+        jax.lax.stop_gradient(face_verts), jax.lax.stop_gradient(attributes),
+        image_size, capacity, interpret,
+    )
+    mask = (p2f >= 0)[..., None].astype(vals.dtype)
+    return (vals, mask, p2f), (face_verts, attributes, p2slot, bins)
+
+
+def _rpd_bwd(image_size, capacity, interpret, res, cts):
+    g_vals = cts[0]  # mask/p2f cotangents carry no gradient information
+    face_verts, attributes, p2slot, bins = res
+    B, H, W, D = g_vals.shape
+    F = face_verts.shape[1]
+
+    # cotangent of an affine plane = its first moments over covered pixels:
+    # dL/dPA_d = sum x*g_d, dL/dPB_d = sum y*g_d, dL/dPC_d = sum g_d
+    xs, ys = _pixel_centers(image_size, g_vals.dtype)
+    payload = jnp.concatenate(
+        [g_vals * xs[None, ..., None], g_vals * ys[None, ..., None], g_vals],
+        axis=-1,
+    )  # (B,H,W,3D), layout matches attr_planes [PA|PB|PC]
+    gpx_t = image_to_tiles(payload, image_size)
+    slots_t = image_to_tiles(p2slot, image_size)
+    per_slot = segment_reduce_tiles(slots_t, gpx_t, capacity, interpret)
+
+    Tp = per_slot.shape[1]
+    ids = jnp.where(bins >= 0, bins, F).reshape(B, Tp * capacity)
+    flat = per_slot.reshape(B, Tp * capacity, 3 * D)
+    b_idx = jnp.arange(B)[:, None]
+    plane_ct = jnp.zeros((B, F, 3 * D), flat.dtype).at[b_idx, ids].add(
+        flat, mode="drop"
+    )
+    _, vjp = jax.vjp(attr_planes, face_verts, attributes)
+    dfv, dattr = vjp(plane_ct)
+    return dfv, dattr
+
+
+rasterize_planes_diff.defvjp(_rpd_fwd, _rpd_bwd)

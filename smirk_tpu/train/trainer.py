@@ -349,6 +349,14 @@ class SmirkSystem:
             "reconstructed_img": (
                 jax.lax.stop_gradient(recon_img) if recon_img is not None else None
             ),
+            # per-pixel reconstruction-loss heatmap (smirk_trainer.py:99-101)
+            "loss_img": (
+                jax.lax.stop_gradient(rec_err.mean(-1, keepdims=True))
+                if recon_img is not None else None
+            ),
+            # predicted landmarks for the viz overlays (base_trainer.py:138-142)
+            "landmarks_fan": jax.lax.stop_gradient(rend["landmarks_fan"]),
+            "landmarks_mp": jax.lax.stop_gradient(rend["landmarks_mp"]),
         }
         return total, aux
 
@@ -520,6 +528,15 @@ class SmirkSystem:
             "losses": {"cycle_loss": cycle},
             "enc_stats": enc_stats,
             "gen_stats": gen_stats,
+            # cycle-path viz (reference '2nd_path' stack, smirk_trainer.py:
+            # 330-332): the re-render of recon_feats happens lazily in
+            # make_visualizations to keep the hot step lean
+            "viz": {
+                "rendered_img_2nd": rendered_img_2nd,
+                "masked_img_2nd": jax.lax.stop_gradient(masked_img_2nd),
+                "reconstructed_img_2nd": jax.lax.stop_gradient(recon),
+                "recon_feats": jax.lax.stop_gradient(recon_feats),
+            },
         }
         return total, aux
 
@@ -595,6 +612,8 @@ class SmirkSystem:
                 gen_params = optax.apply_updates(gen_params, gen_updates)
             metrics.update(aux2["losses"])
             metrics["loss_second_path"] = loss2
+            aux1 = dict(aux1)
+            aux1["second_path"] = aux2["viz"]
 
         new_state = state.replace(
             step=state.step + 1,
@@ -632,10 +651,8 @@ class SmirkSystem:
 
     # ---------------------------- visualization ----------------------------
 
-    def make_visualizations(self, state: TrainState, batch, aux):
-        """Extra viz renders (reference create_visualizations,
-        base_trainer.py:165-224): base-encoder render + zero-pose/expression
-        render with the canonical viz camera."""
+    @functools.partial(jax.jit, static_argnums=0)
+    def _viz_impl(self, state: TrainState, batch, aux):
         enc_out = aux["encoder_output"]
         B = batch["img"].shape[0]
         zero_cam = jnp.tile(jnp.asarray([[7.0, 0.0, 0.0]]), (B, 1))
@@ -644,6 +661,9 @@ class SmirkSystem:
             "rendered_img": aux["rendered_img"],
             "masked_img": aux.get("masked_img"),
             "reconstructed_img": aux.get("reconstructed_img"),
+            "loss_img": aux.get("loss_img"),
+            "landmarks_fan": aux.get("landmarks_fan"),
+            "landmarks_mp": aux.get("landmarks_mp"),
         }
         base_out = self.encoder.apply(state.base_encoder, batch["img"],
                                       train=False)
@@ -656,4 +676,61 @@ class SmirkSystem:
         viz["rendered_img_zero"] = self.renderer(
             zero_flame["vertices"], zero_cam
         )["rendered_img"]
+
+        # MICA teacher panels (base_trainer.py:196-216): zero-pose render of
+        # the MICA-predicted shape + the 112px arcface crop upsampled
+        if self.mica is not None and "img_mica" in batch:
+            mica_shape = self.mica.apply(
+                self.mica_variables, batch["img_mica"]
+            )[..., : self.config.arch.num_shape]
+            mica_out = dict(enc_out)
+            mica_out["shape_params"] = mica_shape
+            mica_flame = self.flame(
+                mica_out, zero_expression=True, zero_pose=True
+            )
+            viz["rendered_img_mica_zero"] = self.renderer(
+                mica_flame["vertices"], zero_cam
+            )["rendered_img"]
+            viz["img_mica"] = jax.image.resize(
+                batch["img_mica"],
+                (B, self.config.image_size, self.config.image_size, 3),
+                method="bilinear",
+            )
+
+        # cycle-path quadruples (smirk_trainer.py:295-303,330-332): for each
+        # sample, Ke groups of [augmented render | masked | reconstruction |
+        # re-render of the re-encoded params]; the re-render happens here,
+        # outside the hot step
+        sp = aux.get("second_path")
+        if sp is not None:
+            recon_feats = sp["recon_feats"]
+            flame2 = self.flame(recon_feats)
+            rerender = self.renderer(
+                flame2["vertices"], recon_feats["cam"], inference=True
+            )["rendered_img"]
+            KeB, H, W, C = rerender.shape
+            Ke = KeB // B
+            panels = [sp["rendered_img_2nd"], sp["masked_img_2nd"],
+                      sp["reconstructed_img_2nd"], rerender]
+            # (Ke*B,...) k-major -> (B, Ke, 4, H, W, C) -> (B*Ke*4, ...)
+            stack = jnp.stack(
+                [p.reshape(Ke, B, H, W, C).transpose(1, 0, 2, 3, 4)
+                 for p in panels],
+                axis=2,
+            )
+            viz["2nd_path"] = stack.reshape(B * Ke * 4, H, W, C)
         return viz
+
+    def make_visualizations(self, state: TrainState, batch, aux):
+        """Extra viz renders (reference create_visualizations,
+        base_trainer.py:165-224): base-encoder render, zero-pose/expression
+        render, MICA panels, loss heatmap, and the cycle-path '2nd_path'
+        stack — one jitted program (viz runs off the hot loop cadence)."""
+        # the losses dict and batch-stat trees aren't needed for viz; drop
+        # them so the jit signature stays small
+        aux_viz = {k: aux.get(k) for k in (
+            "encoder_output", "rendered_img", "masked_img",
+            "reconstructed_img", "loss_img", "landmarks_fan", "landmarks_mp",
+            "second_path",
+        )}
+        return self._viz_impl(state, batch, aux_viz)

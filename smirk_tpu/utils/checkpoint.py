@@ -5,8 +5,11 @@ state_dict only, optimizer state dropped) by checkpointing the FULL
 TrainState {params, batch_stats, optimizer moments, step} for exact resume —
 the reference's restart-based recovery loses Adam state.
 
-Uses orbax when available, with a plain msgpack/npz fallback so checkpoints
-work in minimal environments.
+Two backends, routed by path: `*.npz` -> single-file numpy (exact,
+single-host, zero deps); anything else -> an orbax checkpoint directory
+(async save off the training thread, multi-host-safe: orbax coordinates
+across jax processes and handles sharded arrays). `finalize()` blocks on
+pending async saves — call it before process exit.
 """
 from __future__ import annotations
 
@@ -29,8 +32,53 @@ def _flatten(tree):
     return out
 
 
+_async_checkpointer = None
+
+
+def _orbax():
+    """Lazy module-level AsyncCheckpointer (one background thread pool)."""
+    global _async_checkpointer
+    import orbax.checkpoint as ocp
+
+    if _async_checkpointer is None:
+        _async_checkpointer = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler()
+        )
+    return _async_checkpointer
+
+
+def save_state_orbax(state, path: str) -> None:
+    """Async orbax save to a checkpoint directory (multi-host-safe: every
+    jax process must call this; orbax coordinates the commit)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = _orbax()
+    ckptr.save(os.path.abspath(path), args=ocp.args.StandardSave(state),
+               force=True)
+
+
+def restore_state_orbax(state_template, path: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = _orbax()
+    ckptr.wait_until_finished()
+    return ckptr.restore(
+        os.path.abspath(path), args=ocp.args.StandardRestore(state_template)
+    )
+
+
+def finalize() -> None:
+    """Block until pending async orbax saves are committed."""
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
+
+
 def save_state(state, path: str) -> None:
-    """Save a TrainState (or any pytree) to <path>.npz (created atomically)."""
+    """Save a TrainState (or any pytree): `*.npz` -> single-file numpy
+    (atomic), else an orbax checkpoint directory (async)."""
+    if not path.endswith(".npz"):
+        save_state_orbax(state, path)
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **_flatten(state))
@@ -39,6 +87,8 @@ def save_state(state, path: str) -> None:
 
 def restore_state(state_template, path: str):
     """Restore into the structure of `state_template` (shapes must match)."""
+    if not path.endswith(".npz"):
+        return restore_state_orbax(state_template, path)
     data = np.load(path)
     flat = jax.tree_util.tree_flatten_with_path(state_template)
     treedef = jax.tree_util.tree_structure(state_template)

@@ -50,34 +50,68 @@ def save_image(img: np.ndarray, path: str) -> None:
     Image.fromarray(arr).save(path)
 
 
+# reference panel order (base_trainer.py:147-151 image_keys); '2nd_path'
+# renders one row of 4*Ke quadruple panels per sample
+PANEL_KEYS = (
+    "img_mica", "rendered_img_base", "rendered_img",
+    "overlap_image", "overlap_image_pixels",
+    "rendered_img_mica_zero", "rendered_img_zero",
+    "masked_img", "reconstructed_img", "loss_img",
+    "2nd_path",
+)
+
+
 def training_grid(
     batch: Dict[str, np.ndarray],
     outputs: Dict[str, np.ndarray],
     show_landmarks: bool = True,
 ) -> np.ndarray:
-    """Side-by-side panel per sample (reference save_visualizations)."""
+    """Side-by-side panel per sample (reference save_visualizations,
+    base_trainer.py:130-162): input (optionally with the 4-color landmark
+    overlay), then the image_keys panels that are present, then the
+    cycle-path quadruple rows."""
     img = np.asarray(batch["img"])
+    B = img.shape[0]
+    outputs = dict(outputs)
+    if outputs.get("rendered_img") is not None:
+        outputs["overlap_image"] = 0.7 * img + 0.3 * np.asarray(
+            outputs["rendered_img"])
+    if outputs.get("masked_img") is not None:
+        outputs["overlap_image_pixels"] = 0.7 * img + 0.3 * np.asarray(
+            outputs["masked_img"])
+
     cols: List[np.ndarray] = []
-    if show_landmarks and "landmarks_mp" in outputs:
-        overlaid = np.stack([
-            draw_keypoints(
-                draw_keypoints(im, np.asarray(gt), (0, 0, 255)),
-                np.asarray(pred), (0, 255, 0),
-            )
-            for im, gt, pred in zip(
-                img, batch["landmarks_mp"], outputs["landmarks_mp"]
-            )
-        ])
-        cols.append(make_grid(overlaid))
+    if show_landmarks and outputs.get("landmarks_mp") is not None:
+        # 4 colors as base_trainer.py:138-142: predicted mp green, gt mp
+        # blue, predicted fan jawline magenta, gt fan jawline white
+        overlaid = []
+        for i, im in enumerate(img):
+            im = draw_keypoints(im, np.asarray(outputs["landmarks_mp"])[i],
+                                (0, 255, 0))
+            if batch.get("landmarks_mp") is not None:
+                im = draw_keypoints(im, np.asarray(batch["landmarks_mp"])[i],
+                                    (0, 0, 255))
+            if outputs.get("landmarks_fan") is not None:
+                im = draw_keypoints(
+                    im, np.asarray(outputs["landmarks_fan"])[i][:17],
+                    (255, 0, 255))
+            if batch.get("landmarks_fan") is not None:
+                im = draw_keypoints(
+                    im, np.asarray(batch["landmarks_fan"])[i][:17, :2],
+                    (255, 255, 255))
+            overlaid.append(im)
+        cols.append(make_grid(np.stack(overlaid)))
     else:
         cols.append(make_grid(img))
-    for key in ("rendered_img", "rendered_img_base", "rendered_img_zero",
-                "masked_img", "reconstructed_img", "loss_img"):
-        if outputs.get(key) is not None:
-            cols.append(make_grid(np.asarray(outputs[key])))
-    if "img" in batch and outputs.get("rendered_img") is not None:
-        overlap = 0.7 * img + 0.3 * np.asarray(outputs["rendered_img"])
-        cols.append(make_grid(overlap))
+
+    for key in PANEL_KEYS:
+        val = outputs.get(key)
+        if val is None:
+            continue
+        val = np.asarray(val)
+        nrow = 1 if key != "2nd_path" else max(1, val.shape[0] // B)
+        cols.append(make_grid(val, nrow=nrow))
+
     h = max(c.shape[0] for c in cols)
     cols = [
         np.pad(c, ((0, h - c.shape[0]), (0, 0), (0, 0))) for c in cols

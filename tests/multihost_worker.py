@@ -1,0 +1,51 @@
+"""Worker for the multi-host smoke test (spawned by test_multihost.py).
+
+Exercises the real multi-process entry path: parallel.initialize_distributed
+(env-var activation), a global 2-process mesh, a cross-process reduction
+through pjit sharding, and the sampler's per-process batch slicing.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+pid = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = str(pid)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from smirk_tpu import parallel  # noqa: E402
+from smirk_tpu.data.pipeline import MixedDatasetSampler  # noqa: E402
+
+n = parallel.initialize_distributed()
+assert n == 2, f"process_count={n}"
+assert jax.process_index() == pid
+
+mesh = parallel.make_mesh()
+assert mesh.devices.size == 2, mesh.devices
+
+# host-local shard -> global array -> cross-process reduction via pjit
+local = np.full((2, 3), float(pid + 1), np.float32)
+garr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P(parallel.DATA_AXIS)), local
+)
+total = jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh, P()))(garr)
+assert float(total) == 18.0, float(total)  # 2*3*1 + 2*3*2
+
+# per-process sampler slices: same global spec, different local streams
+sampler = MixedDatasetSampler(
+    dataset_sizes=[100, 50], ratios=[0.5, 0.5], batch_size=8,
+    n_samples=64, seed=3, process_index=pid, process_count=2,
+)
+batches = list(iter(sampler))
+assert len(sampler) == 64 // (8 * 2), len(sampler)
+assert all(len(b) == 8 for b in batches)
+print(f"OK {pid} {[b[0] for b in batches]}", flush=True)

@@ -24,6 +24,24 @@ def test_state_roundtrip(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_orbax_async_roundtrip(tmp_path):
+    """Orbax directory checkpoints (async save) restore exactly, including
+    a realistic nested state with an optax-like structure."""
+    import optax
+
+    params = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones((4,))}
+    opt = optax.adam(1e-3).init(params)
+    state = {"step": jnp.asarray(7, jnp.int32), "params": params, "opt": opt}
+    path = str(tmp_path / "ckpt_dir")
+    ckpt.save_state(state, path)  # non-.npz -> orbax async
+    ckpt.finalize()
+    zero = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = ckpt.restore_state(zero, path)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_model_export_roundtrip(tmp_path):
     from smirk_tpu.train.trainer import TrainState
 

@@ -270,6 +270,65 @@ def test_renderer_inference_matches_differentiable():
     )
 
 
+def test_planes_diff_forward_matches_interpolate():
+    """Fused v5 kernel (in-kernel plane eval) == coverage + interpolation."""
+    rng = np.random.default_rng(11)
+    fv = random_mesh(rng, F=40, B=2)
+    attr = jnp.asarray(rng.normal(0, 1, (2, 40, 3, 3)).astype(np.float32))
+    size, cap = 32, 64
+    vals, mask, p2f = R.rasterize_planes_diff(fv, attr, size, cap, True)
+    ref_p2f, _ = R.rasterize_coverage_pallas_v3(fv, size, capacity=cap,
+                                                interpret=True)
+    ref_vals, ref_mask = R.interpolate_attributes(ref_p2f, fv, attr)
+    np.testing.assert_array_equal(np.asarray(p2f), np.asarray(ref_p2f))
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(ref_vals), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_planes_diff_gradients_match_plain():
+    """v5 custom-VJP (moment segment-reduce) == autodiff interpolation."""
+    rng = np.random.default_rng(12)
+    fv = random_mesh(rng, F=40, B=2)
+    attr = jnp.asarray(rng.normal(0, 1, (2, 40, 3, 3)).astype(np.float32))
+    size, cap = 32, 64
+    p2f, _ = R.rasterize_coverage_pallas_v3(fv, size, capacity=cap,
+                                            interpret=True)
+
+    def loss_plain(f, a):
+        vals, _ = R.interpolate_attributes(p2f, f, a)
+        return jnp.sum(jnp.sin(vals) * vals)
+
+    def loss_v5(f, a):
+        vals, _, _ = R.rasterize_planes_diff(f, a, size, cap, True)
+        return jnp.sum(jnp.sin(vals) * vals)
+
+    np.testing.assert_allclose(
+        float(loss_plain(fv, attr)), float(loss_v5(fv, attr)), rtol=1e-5
+    )
+    g1 = jax.grad(loss_plain, argnums=(0, 1))(fv, attr)
+    g2 = jax.grad(loss_v5, argnums=(0, 1))(fv, attr)
+    for a, b in zip(g1, g2):
+        # moment accumulation reassociates the per-pixel sums; fp32 rounding
+        # differs by ~1e-5 relative on O(10) gradient magnitudes
+        scale = np.abs(np.asarray(a)).max()
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3 * max(scale, 1.0)
+        )
+
+
+def test_rasterize_dispatches_to_v5():
+    """rasterize(use_pallas=True) returns the fused-diff path's outputs."""
+    rng = np.random.default_rng(13)
+    fv = random_mesh(rng, F=24, B=1)
+    attr = jnp.asarray(rng.normal(0, 1, (1, 24, 3, 3)).astype(np.float32))
+    vals, mask, p2f = R.rasterize(fv, attr, 32, capacity=64, use_pallas=True)
+    ref, refm, refp = R.rasterize_planes_diff(fv, attr, 32, 64, True)
+    np.testing.assert_array_equal(np.asarray(p2f), np.asarray(refp))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref), rtol=1e-6)
+
+
 def test_interpolate_fast_gradients_match_plain():
     """Custom-VJP interpolation == autodiff interpolation (values + grads)."""
     rng = np.random.default_rng(9)
@@ -299,3 +358,28 @@ def test_interpolate_fast_gradients_match_plain():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_planes_diff_capacity_not_multiple_of_128():
+    """Renderer auto-capacities are multiples of 32, not 128; the backward
+    segment-reduce must pick a slot chunk that divides them (regression:
+    found by driving the train CLI at image_size=32)."""
+    rng = np.random.default_rng(14)
+    fv = random_mesh(rng, F=24, B=1)
+    attr = jnp.asarray(rng.normal(0, 1, (1, 24, 3, 3)).astype(np.float32))
+
+    def loss(f, a):
+        vals, _, _ = R.rasterize_planes_diff(f, a, 32, 96, True)
+        return jnp.sum(vals ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1))(fv, attr)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
+    p2f, _ = R.rasterize_coverage_pallas_v3(fv, 32, capacity=96,
+                                            interpret=True)
+    ref, _ = R.interpolate_attributes(p2f, fv, attr)
+    g_ref = jax.grad(lambda f, a: jnp.sum(
+        R.interpolate_attributes(p2f, f, a)[0] ** 2), argnums=(0, 1))(fv, attr)
+    for a, b in zip(g, g_ref):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3 * scale)

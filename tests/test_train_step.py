@@ -225,3 +225,137 @@ def test_training_reduces_landmark_loss(tiny_system):
         system._train_step = jax.jit(
             system._step_impl, static_argnames=("parity", "train")
         )
+
+
+def test_make_visualizations_full_panel_set(tiny_system):
+    """Viz parity with reference create_visualizations/save_visualizations
+    (base_trainer.py:130-224): loss heatmap, landmark overlays, MICA panels,
+    and the cycle-path '2nd_path' quadruple stack."""
+    from types import SimpleNamespace
+
+    from smirk_tpu.utils import viz
+
+    system, state = tiny_system
+    batch = make_batch(np.random.default_rng(5))
+
+    # stub MICA teacher (the real iresnet100 is too heavy for this test);
+    # must be installed BEFORE the first _viz_impl trace of this system
+    system.mica = SimpleNamespace(
+        apply=lambda variables, x: jnp.zeros((x.shape[0], 300))
+    )
+    system.mica_variables = {}
+    try:
+        s1, _, aux = system.train_step(state, batch, jax.random.PRNGKey(3),
+                                       parity=0)
+        extra = system.make_visualizations(s1, batch, aux)
+    finally:
+        system.mica = None
+        system.mica_variables = None
+
+    Ke = system.config.train.Ke
+    for key in ("rendered_img", "rendered_img_base", "rendered_img_zero",
+                "masked_img", "reconstructed_img", "loss_img",
+                "rendered_img_mica_zero", "img_mica", "landmarks_fan",
+                "landmarks_mp", "2nd_path"):
+        assert extra.get(key) is not None, key
+
+    assert extra["loss_img"].shape == (B, S, S, 1)
+    assert extra["img_mica"].shape == (B, S, S, 3)
+    assert extra["2nd_path"].shape == (B * Ke * 4, S, S, 3)
+    assert extra["landmarks_mp"].shape == (B, 105, 2)
+
+    grid = viz.training_grid(
+        {k: np.asarray(v) for k, v in batch.items()},
+        {k: (None if v is None else np.asarray(v)) for k, v in extra.items()},
+        show_landmarks=True,
+    )
+    assert grid.ndim == 3 and grid.shape[2] == 3
+    # panel columns: landmarks overlay + 10 image keys + 4*Ke-wide 2nd_path
+    pad, W = 2, S
+    expected_w = sum(
+        n * (W + pad) + pad
+        for n in ([1] * 11 + [4 * Ke])
+    )
+    assert grid.shape[1] == expected_w, (grid.shape, expected_w)
+
+
+def test_teacher_losses_inside_train_step(monkeypatch):
+    """Reduced-depth VGG + EMOCA teachers wired into the jitted step with
+    nonzero weights: finite teacher losses, gradient flows through the frozen
+    teachers into the encoder, and the emotion re-forward's generator freeze
+    (smirk_trainer.py:108-119) blocks generator updates when only the
+    emotion loss is active."""
+    from smirk_tpu.models import emoca_resnet as emo_lib
+    from smirk_tpu.models import vgg as vgg_lib
+    from smirk_tpu.models.vgg import VGG16Features
+    from smirk_tpu.models.emoca_resnet import EmocaResNet50
+
+    monkeypatch.setattr(vgg_lib, "VGG16_BLOCK_CONVS",
+                        [[(0, 8)], [(5, 8)]])
+    monkeypatch.setattr(emo_lib, "LAYERS_R50", [1, 1, 1, 1])
+
+    vgg_vars = VGG16Features().init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    emo_vars = EmocaResNet50().init(
+        jax.random.PRNGKey(1), jnp.zeros((1, S, S, 3)))
+
+    # recenter the synthetic template's face region so the random-init cam
+    # renders on-screen (like bench.py): the emotion gradient reaches the
+    # encoder only through rendered pixels, so the scene must be non-empty
+    bundle = dict(assets.load_all())
+    vt = np.array(bundle["v_template"], np.float32)
+    center = vt[np.asarray(bundle["face_vertex_ids"])].mean(0)
+    vt[:, 0] -= center[0]
+    vt[:, 1] -= center[1]
+    bundle["v_template"] = vt
+
+    def build(weights):
+        cfg = Config(
+            image_size=S,
+            arch=ArchConfig(num_expression=10, num_shape=30),
+            train=TrainConfig(batch_size=B, mask_ratio=0.02,
+                              mask_dilation_radius=3, Ke=1,
+                              loss_weights=weights),
+        )
+        return SmirkSystem(
+            cfg, bundle, steps_per_epoch=10, use_pallas=False,
+            generator_features=8, generator_res_blocks=1,
+            vgg_variables=vgg_vars, emotion_variables=emo_vars,
+        )
+
+    batch = make_batch(np.random.default_rng(11))
+    rng = jax.random.PRNGKey(11)
+
+    # --- both teachers active: finite, nonzero losses in the metrics ---
+    system = build(LossWeights(perceptual_vgg_loss=1.0, emotion_loss=1.0,
+                               mica_loss=0.0))
+    state = system.init_state(jax.random.PRNGKey(4))
+    _, metrics, _ = system.train_step(state, batch, rng, parity=0)
+    assert np.isfinite(float(metrics["perceptual_vgg_loss"]))
+    assert float(metrics["perceptual_vgg_loss"]) > 0
+    assert np.isfinite(float(metrics["emotion_loss"]))
+    assert float(metrics["emotion_loss"]) > 0
+
+    # --- only the emotion loss drives training: the re-forward freezes the
+    # generator (stop_gradient), so generator params must NOT move, while
+    # the encoder still receives gradient THROUGH the frozen teacher+gen ---
+    only_emotion = LossWeights(
+        landmark_loss=0.0, reconstruction_loss=0.0, perceptual_vgg_loss=0.0,
+        emotion_loss=1.0, cycle_loss=0.0, mica_loss=0.0,
+        expression_regularization=0.0, jaw_regularization=0.0,
+        shape_regularization=0.0,
+    )
+    system2 = build(only_emotion)
+    state2 = system2.init_state(jax.random.PRNGKey(5))
+    new2, metrics2, _ = system2.train_step(state2, batch, rng, parity=0)
+    assert np.isfinite(float(metrics2["emotion_loss"]))
+
+    ga = jax.tree_util.tree_leaves(state2.generator["params"])
+    gb = jax.tree_util.tree_leaves(new2.generator["params"])
+    assert all(np.array_equal(x, y) for x, y in zip(ga, gb)), \
+        "emotion re-forward must not update the frozen generator"
+
+    ea = jax.tree_util.tree_leaves(state2.encoder["params"]["expression_encoder"])
+    eb = jax.tree_util.tree_leaves(new2.encoder["params"]["expression_encoder"])
+    moved = sum(float(jnp.abs(x - y).sum()) for x, y in zip(ea, eb))
+    assert moved > 0, "encoder must receive gradient through the teachers"
