@@ -37,6 +37,35 @@ def iter_frames(path: str) -> Iterator[np.ndarray]:
     cap.release()
 
 
+def _resolve_deferred_crops(crops, frames, size: int = 224) -> None:
+    """Replace ('warp', M) markers with warped crops, in place.
+
+    Uses the native batched warp executor (libfastops warp_affine_batch,
+    thread-pooled C++) when available and the chunk's frames are uniform in
+    shape — one GIL-released call for the whole device batch; falls back to
+    per-frame warps otherwise.
+    """
+    from smirk_tpu import native
+    from smirk_tpu.data import transforms as T
+
+    todo = [i for i, c in enumerate(crops) if isinstance(c, tuple)]
+    if not todo:
+        return
+    batch = None
+    if len({frames[i].shape for i in todo}) == 1:
+        frs = np.stack([frames[i] for i in todo]).astype(np.float32)
+        Ms = np.stack([crops[i][1] for i in todo])
+        batch = native.warp_affine_batch(frs, Ms, (size, size))
+    if batch is not None:
+        for j, i in enumerate(todo):
+            crops[i] = (np.clip(batch[j], 0, 255) / 255.0).astype(np.float32)
+        return
+    for i in todo:
+        w = T.warp_affine(frames[i].astype(np.float32), crops[i][1],
+                          (size, size))
+        crops[i] = (np.clip(w, 0, 255) / 255.0).astype(np.float32)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--input_path", required=True,
@@ -109,6 +138,7 @@ def main(argv=None):
         if not crops:
             return
         n = len(crops)
+        _resolve_deferred_crops(crops, frames)
         batch = np.stack(crops)
         if n < args.batch:  # pad to static shape
             batch = np.concatenate(
@@ -142,9 +172,9 @@ def main(argv=None):
         kpt = tracks[fi] if tracks is not None else get_landmarks(frame, None)
         if args.crop and kpt is not None:
             M = T.crop_face_tform(kpt[..., :2], 1.4, 224)
-            crop = np.clip(
-                T.warp_affine(frame.astype(np.float32), M, (224, 224)), 0, 255
-            ) / 255.0
+            # warp deferred to flush: the whole chunk goes through the native
+            # batch executor (libfastops warp_affine_batch) in one call
+            crop = ("warp", M)
             kpts_c.append(T.transform_points(M, kpt[..., :2]))
         else:
             from PIL import Image
@@ -156,7 +186,8 @@ def main(argv=None):
                 kpts_c.append(kpt[..., :2] * [224.0 / W0, 224.0 / H0])
             else:
                 kpts_c.append(None)
-        crops.append(crop.astype(np.float32))
+        crops.append(crop if isinstance(crop, tuple)
+                     else crop.astype(np.float32))
         frames.append(frame)
         if len(crops) == args.batch:
             flush(done)

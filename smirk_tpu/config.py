@@ -68,6 +68,10 @@ class ArchConfig:
     num_shape: int = 300
     use_eyelids: bool = True
     enable_fuse_generator: bool = True
+    # bf16 conv/BN compute in the encoder backbones + generator (params,
+    # BN stats, heads and losses stay f32). Off by default: fp32 matches the
+    # reference numerics; flip for throughput on TPU.
+    bf16_compute: bool = False
 
 
 @dataclass(frozen=True)

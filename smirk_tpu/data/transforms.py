@@ -96,6 +96,12 @@ def warp_affine(
     Bilinear by default; equivalent to skimage.warp(tform.inverse) /
     cv2.warpAffine(M[:2]).
     """
+    if order == 1:
+        from smirk_tpu import native
+
+        fast = native.warp_affine(np.asarray(image, np.float32), M, out_shape)
+        if fast is not None:
+            return fast
     Minv = np.linalg.inv(M)
     # scipy affine_transform maps output coords -> input coords via
     # matrix @ out + offset, in (row, col) order.
@@ -125,6 +131,11 @@ def transform_points(M: np.ndarray, pts: np.ndarray) -> np.ndarray:
 def convex_hull_mask(points: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
     """1 outside the convex hull of points, 0 inside (reference create_mask,
     base_dataset.py:9-15 semantics: hull region zeroed)."""
+    from smirk_tpu import native
+
+    fast = native.convex_hull_mask(points, shape)
+    if fast is not None:
+        return fast
     pts = np.asarray(points, np.float64)[:, :2]
     hull = _convex_hull(pts)
     H, W = shape

@@ -10,7 +10,7 @@ checkpoint, which overwrites them anyway.
 """
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax
@@ -42,11 +42,14 @@ def _pose_bias_init(key, shape, dtype=jnp.float32):
 
 class PoseEncoder(nn.Module):
     backbone: str = "tf_mobilenetv3_small_minimal_100"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
-        feats = MobileNetV3Features(self.backbone, name="encoder")(img, train)
-        x = feats[-1].mean(axis=(1, 2))  # adaptive_avg_pool2d(1,1)
+        feats = MobileNetV3Features(self.backbone, dtype=self.dtype,
+                                    name="encoder")(img, train)
+        # adaptive_avg_pool2d(1,1); heads stay f32 for output precision
+        x = feats[-1].astype(jnp.float32).mean(axis=(1, 2))
         pose_cam = nn.Dense(
             6,
             kernel_init=_pose_kernel_init,
@@ -59,11 +62,13 @@ class PoseEncoder(nn.Module):
 class ShapeEncoder(nn.Module):
     n_shape: int = 300
     backbone: str = "tf_mobilenetv3_large_minimal_100"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
-        feats = MobileNetV3Features(self.backbone, name="encoder")(img, train)
-        x = feats[-1].mean(axis=(1, 2))
+        feats = MobileNetV3Features(self.backbone, dtype=self.dtype,
+                                    name="encoder")(img, train)
+        x = feats[-1].astype(jnp.float32).mean(axis=(1, 2))
         shape = nn.Dense(
             self.n_shape,
             kernel_init=nn.initializers.zeros,
@@ -76,11 +81,13 @@ class ShapeEncoder(nn.Module):
 class ExpressionEncoder(nn.Module):
     n_exp: int = 50
     backbone: str = "tf_mobilenetv3_large_minimal_100"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
-        feats = MobileNetV3Features(self.backbone, name="encoder")(img, train)
-        x = feats[-1].mean(axis=(1, 2))
+        feats = MobileNetV3Features(self.backbone, dtype=self.dtype,
+                                    name="encoder")(img, train)
+        x = feats[-1].astype(jnp.float32).mean(axis=(1, 2))
         p = nn.Dense(
             self.n_exp + 2 + 3,
             kernel_init=_scaled_lecun(0.1),
@@ -109,19 +116,21 @@ class SmirkEncoder(nn.Module):
     backbone_pose: str = "tf_mobilenetv3_small_minimal_100"
     backbone_shape: str = "tf_mobilenetv3_large_minimal_100"
     backbone_expression: str = "tf_mobilenetv3_large_minimal_100"
+    dtype: Any = None  # backbone compute dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         out = {}
-        out.update(PoseEncoder(self.backbone_pose, name="pose_encoder")(img, train))
+        out.update(PoseEncoder(self.backbone_pose, dtype=self.dtype,
+                               name="pose_encoder")(img, train))
         out.update(
-            ShapeEncoder(self.n_shape, self.backbone_shape, name="shape_encoder")(
-                img, train
-            )
+            ShapeEncoder(self.n_shape, self.backbone_shape, dtype=self.dtype,
+                         name="shape_encoder")(img, train)
         )
         out.update(
             ExpressionEncoder(
-                self.n_exp, self.backbone_expression, name="expression_encoder"
+                self.n_exp, self.backbone_expression, dtype=self.dtype,
+                name="expression_encoder"
             )(img, train)
         )
         return out

@@ -17,7 +17,7 @@ the torch-checkpoint importer is a pure name/layout map.
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -52,16 +52,17 @@ ARCHS = {
 }
 
 
-def _bn(x, train: bool, name: str):
+def _bn(x, train: bool, name: str, dtype=None):
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=BN_MOMENTUM,
         epsilon=BN_EPS_TF,
+        dtype=dtype,
         name=name,
     )(x)
 
 
-def _conv(features, kernel, stride, groups=1, name=None):
+def _conv(features, kernel, stride, groups=1, name=None, dtype=None):
     return nn.Conv(
         features=features,
         kernel_size=(kernel, kernel),
@@ -69,6 +70,7 @@ def _conv(features, kernel, stride, groups=1, name=None):
         padding="SAME",
         feature_group_count=groups,
         use_bias=False,
+        dtype=dtype,
         name=name,
     )
 
@@ -78,16 +80,18 @@ class DepthwiseSeparable(nn.Module):
 
     out_chs: int
     stride: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         in_chs = x.shape[-1]
         shortcut = x
-        x = _conv(in_chs, 3, self.stride, groups=in_chs, name="conv_dw")(x)
-        x = _bn(x, train, "bn1")
+        x = _conv(in_chs, 3, self.stride, groups=in_chs, name="conv_dw",
+                  dtype=self.dtype)(x)
+        x = _bn(x, train, "bn1", self.dtype)
         x = nn.relu(x)
-        x = _conv(self.out_chs, 1, 1, name="conv_pw")(x)
-        x = _bn(x, train, "bn2")
+        x = _conv(self.out_chs, 1, 1, name="conv_pw", dtype=self.dtype)(x)
+        x = _bn(x, train, "bn2", self.dtype)
         if self.stride == 1 and in_chs == self.out_chs:
             x = x + shortcut
         return x
@@ -99,19 +103,21 @@ class InvertedResidual(nn.Module):
     exp_chs: int
     out_chs: int
     stride: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         in_chs = x.shape[-1]
         shortcut = x
-        x = _conv(self.exp_chs, 1, 1, name="conv_pw")(x)
-        x = _bn(x, train, "bn1")
+        x = _conv(self.exp_chs, 1, 1, name="conv_pw", dtype=self.dtype)(x)
+        x = _bn(x, train, "bn1", self.dtype)
         x = nn.relu(x)
-        x = _conv(self.exp_chs, 3, self.stride, groups=self.exp_chs, name="conv_dw")(x)
-        x = _bn(x, train, "bn2")
+        x = _conv(self.exp_chs, 3, self.stride, groups=self.exp_chs,
+                  name="conv_dw", dtype=self.dtype)(x)
+        x = _bn(x, train, "bn2", self.dtype)
         x = nn.relu(x)
-        x = _conv(self.out_chs, 1, 1, name="conv_pwl")(x)
-        x = _bn(x, train, "bn3")
+        x = _conv(self.out_chs, 1, 1, name="conv_pwl", dtype=self.dtype)(x)
+        x = _bn(x, train, "bn3", self.dtype)
         if self.stride == 1 and in_chs == self.out_chs:
             x = x + shortcut
         return x
@@ -120,11 +126,12 @@ class InvertedResidual(nn.Module):
 class ConvBnAct(nn.Module):
     out_chs: int
     stride: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = _conv(self.out_chs, 1, self.stride, name="conv")(x)
-        x = _bn(x, train, "bn1")
+        x = _conv(self.out_chs, 1, self.stride, name="conv", dtype=self.dtype)(x)
+        x = _bn(x, train, "bn1", self.dtype)
         return nn.relu(x)
 
 
@@ -132,6 +139,7 @@ class MobileNetV3Features(nn.Module):
     """Backbone returning per-stage feature maps (timm features_only)."""
 
     arch: str = "tf_mobilenetv3_large_minimal_100"
+    dtype: Any = None  # compute dtype (e.g. bf16); params/stats stay f32
 
     @property
     def feature_dim(self) -> int:
@@ -140,8 +148,10 @@ class MobileNetV3Features(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Sequence[jnp.ndarray]:
         stages, _ = ARCHS[self.arch]
-        x = _conv(16, 3, 2, name="conv_stem")(x)
-        x = _bn(x, train, "bn1")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = _conv(16, 3, 2, name="conv_stem", dtype=self.dtype)(x)
+        x = _bn(x, train, "bn1", self.dtype)
         x = nn.relu(x)
 
         feats = []
@@ -149,10 +159,13 @@ class MobileNetV3Features(nn.Module):
             for bi, (btype, exp_chs, out_chs, stride) in enumerate(stage):
                 name = f"blocks_{si}_{bi}"
                 if btype == "ds":
-                    x = DepthwiseSeparable(out_chs, stride, name=name)(x, train)
+                    x = DepthwiseSeparable(out_chs, stride, dtype=self.dtype,
+                                           name=name)(x, train)
                 elif btype == "ir":
-                    x = InvertedResidual(exp_chs, out_chs, stride, name=name)(x, train)
+                    x = InvertedResidual(exp_chs, out_chs, stride,
+                                         dtype=self.dtype, name=name)(x, train)
                 else:
-                    x = ConvBnAct(out_chs, stride, name=name)(x, train)
+                    x = ConvBnAct(out_chs, stride, dtype=self.dtype,
+                                  name=name)(x, train)
             feats.append(x)
         return feats

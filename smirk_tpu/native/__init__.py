@@ -32,6 +32,20 @@ def load():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ]
+        try:
+            lib.warp_affine_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+            ]
+            lib.convex_hull_mask_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+            ]
+        except AttributeError:
+            pass  # older prebuilt .so without the batch executor
         _lib = lib
     return _lib
 
@@ -70,3 +84,45 @@ def convex_hull_mask(points: np.ndarray,
     lib.convex_hull_mask(_fp(pts, ctypes.c_double), len(pts),
                          _fp(mask, ctypes.c_float), H, W)
     return mask
+
+
+def warp_affine_batch(images: np.ndarray, Ms: np.ndarray,
+                      out_shape: Tuple[int, int],
+                      n_threads: int = 0) -> Optional[np.ndarray]:
+    """Batched warp over the native thread pool.
+
+    images (N,H,W,C), Ms (N,3,3) forward matrices -> (N,OH,OW,C).
+    n_threads 0 = hardware concurrency. None when the library (or the batch
+    entry point) is unavailable.
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "warp_affine_batch"):
+        return None
+    imgs = np.ascontiguousarray(images, np.float32)
+    N, H, W, C = imgs.shape
+    OH, OW = out_shape
+    minvs = np.ascontiguousarray(
+        np.stack([np.linalg.inv(np.asarray(m, np.float64))[:2].reshape(-1)
+                  for m in Ms])
+    )
+    out = np.empty((N, OH, OW, C), np.float32)
+    lib.warp_affine_batch(
+        _fp(imgs, ctypes.c_float), H, W, C, _fp(minvs, ctypes.c_double),
+        _fp(out, ctypes.c_float), OH, OW, N, n_threads,
+    )
+    return out
+
+
+def convex_hull_mask_batch(points: np.ndarray, shape: Tuple[int, int],
+                           n_threads: int = 0) -> Optional[np.ndarray]:
+    """Batched hull fill: points (N,K,2) -> masks (N,H,W)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "convex_hull_mask_batch"):
+        return None
+    pts = np.ascontiguousarray(np.asarray(points, np.float64)[..., :2])
+    N, K = pts.shape[:2]
+    H, W = shape
+    masks = np.empty((N, H, W), np.float32)
+    lib.convex_hull_mask_batch(_fp(pts, ctypes.c_double), K,
+                               _fp(masks, ctypes.c_float), H, W, N, n_threads)
+    return masks

@@ -13,7 +13,35 @@
 #include <cmath>
 #include <cstdint>
 #include <algorithm>
+#include <atomic>
+#include <functional>
+#include <thread>
 #include <vector>
+
+// Work-stealing parallel-for over [0, n): the executor for the batched
+// data-path ops below. Threads pull indices from a shared atomic counter, so
+// uneven per-item cost (different hull sizes, cache effects) load-balances
+// itself. n_threads <= 0 -> hardware concurrency.
+static void run_parallel(int n, int n_threads,
+                         const std::function<void(int)>& fn) {
+    if (n_threads <= 0)
+        n_threads = (int)std::thread::hardware_concurrency();
+    n_threads = std::max(1, std::min(n_threads, n));
+    if (n_threads == 1) {
+        for (int i = 0; i < n; ++i) fn(i);
+        return;
+    }
+    std::atomic<int> next(0);
+    auto worker = [&]() {
+        int i;
+        while ((i = next.fetch_add(1)) < n) fn(i);
+    };
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads - 1);
+    for (int t = 0; t < n_threads - 1; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+}
 
 extern "C" {
 
@@ -116,6 +144,31 @@ void convex_hull_mask(const double* pts, int N, float* mask, int H, int W) {
         for (int x = std::max(0, xs); x <= std::min(W - 1, xe); ++x)
             mask[(size_t)y * W + x] = 0.0f;
     }
+}
+
+// Batched variants over the thread pool: the native data-path executor for
+// chunked host pipelines (video demo crops a whole device batch at once).
+// imgs: (N, H, W, C) contiguous; minvs: (N, 6); out: (N, OH, OW, C).
+void warp_affine_batch(const float* imgs, int H, int W, int C,
+                       const double* minvs, float* out, int OH, int OW,
+                       int N, int n_threads) {
+    const size_t in_stride = (size_t)H * W * C;
+    const size_t out_stride = (size_t)OH * OW * C;
+    run_parallel(N, n_threads, [&](int i) {
+        warp_affine_bilinear(imgs + (size_t)i * in_stride, H, W, C,
+                             minvs + (size_t)i * 6,
+                             out + (size_t)i * out_stride, OH, OW);
+    });
+}
+
+// pts: (N, K, 2) float64; masks: (N, H, W) float32.
+void convex_hull_mask_batch(const double* pts, int K, float* masks, int H,
+                            int W, int N, int n_threads) {
+    const size_t mask_stride = (size_t)H * W;
+    run_parallel(N, n_threads, [&](int i) {
+        convex_hull_mask(pts + (size_t)i * K * 2, K,
+                         masks + (size_t)i * mask_stride, H, W);
+    });
 }
 
 }  // extern "C"

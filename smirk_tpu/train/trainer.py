@@ -93,17 +93,20 @@ class SmirkSystem:
             image_size=c.image_size,
             use_pallas=use_pallas,
         )
+        compute_dtype = jnp.bfloat16 if c.arch.bf16_compute else None
         self.encoder = SmirkEncoder(
             n_exp=c.arch.num_expression,
             n_shape=c.arch.num_shape,
             backbone_pose=c.arch.backbone_pose,
             backbone_shape=c.arch.backbone_shape,
             backbone_expression=c.arch.backbone_expression,
+            dtype=compute_dtype,
         )
         self.generator = (
             SmirkGenerator(in_channels=6, out_channels=3,
                            init_features=generator_features,
-                           res_blocks=generator_res_blocks)
+                           res_blocks=generator_res_blocks,
+                           dtype=compute_dtype)
             if c.arch.enable_fuse_generator
             else None
         )

@@ -359,3 +359,31 @@ def test_teacher_losses_inside_train_step(monkeypatch):
     eb = jax.tree_util.tree_leaves(new2.encoder["params"]["expression_encoder"])
     moved = sum(float(jnp.abs(x - y).sum()) for x, y in zip(ea, eb))
     assert moved > 0, "encoder must receive gradient through the teachers"
+
+
+def test_train_step_bf16_compute(tiny_system):
+    """arch.bf16_compute: bf16 conv/BN compute, f32 params/stats/losses."""
+    system0, _ = tiny_system  # tiny arch tables already patched in
+    cfg = dataclasses.replace(
+        system0.config,
+        arch=dataclasses.replace(system0.config.arch, bf16_compute=True),
+    )
+    system = SmirkSystem(
+        cfg, assets.load_all(), steps_per_epoch=10, use_pallas=False,
+        generator_features=8, generator_res_blocks=1,
+    )
+    state = system.init_state(jax.random.PRNGKey(0))
+    assert all(
+        leaf.dtype == np.float32
+        for leaf in jax.tree_util.tree_leaves(state.encoder)
+    ), "params and BN stats must stay f32"
+
+    batch = make_batch(np.random.default_rng(21))
+    new, metrics, _ = system.train_step(state, batch, jax.random.PRNGKey(21),
+                                        parity=0)
+    for k in ("loss_first_path", "loss_second_path", "landmark_loss_mp"):
+        assert np.isfinite(float(metrics[k])), k
+    assert all(
+        leaf.dtype == np.float32
+        for leaf in jax.tree_util.tree_leaves(new.encoder)
+    )
