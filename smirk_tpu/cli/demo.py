@@ -14,7 +14,8 @@ from typing import Optional
 import numpy as np
 
 
-def build_system(checkpoint: Optional[str], use_generator: bool):
+def build_system(checkpoint: Optional[str], use_generator: bool,
+                 use_pallas: Optional[bool] = None):
     import os
 
     import jax
@@ -29,7 +30,8 @@ def build_system(checkpoint: Optional[str], use_generator: bool):
     from smirk_tpu.utils import importer
 
     cfg = Config()
-    system = SmirkSystem(cfg, assets.load_all(), steps_per_epoch=1)
+    system = SmirkSystem(cfg, assets.load_all(), steps_per_epoch=1,
+                         use_pallas=use_pallas)
     state = system.init_state(jax.random.PRNGKey(0))
     if checkpoint and checkpoint.endswith(".pt"):
         import torch

@@ -34,6 +34,23 @@ from jax.experimental.pallas import tpu as pltpu
 AREA_EPS = 1e-10  # degenerate-triangle guard
 BIG_Z = 1e10
 
+# Pallas interpret-mode selection. Default: interpret on CPU (tests, CPU
+# fallbacks), compiled Mosaic elsewhere. Cross-platform AOT export (lowering
+# a TPU artifact from a CPU host, smirk_tpu/serving.py) must force False so
+# the artifact contains the real kernels, not the interpreted lax graph.
+_INTERPRET_OVERRIDE: Optional[bool] = None
+
+
+def set_interpret_override(value: Optional[bool]) -> None:
+    global _INTERPRET_OVERRIDE
+    _INTERPRET_OVERRIDE = value
+
+
+def default_interpret() -> bool:
+    if _INTERPRET_OVERRIDE is not None:
+        return _INTERPRET_OVERRIDE
+    return jax.default_backend() in ("cpu",)
+
 # Pallas tile geometry: one VPU-shaped tile of pixels per grid step.
 TILE_ROWS = 8
 TILE_COLS = 128
@@ -385,12 +402,12 @@ def rasterize(
         use_pallas = jax.default_backend() not in ("cpu",)
     D = attributes.shape[-1]
     if use_pallas and 13 + 3 * D <= REC5_LANES:
-        interpret = jax.default_backend() in ("cpu",)
+        interpret = default_interpret()
         return rasterize_planes_diff(
             face_verts, attributes, image_size, capacity, interpret
         )
     if use_pallas:
-        interpret = jax.default_backend() in ("cpu",)
+        interpret = default_interpret()
         p2f, _, p2slot, bins = rasterize_coverage_pallas_v3_full(
             jax.lax.stop_gradient(face_verts), image_size, capacity,
             interpret=interpret,

@@ -151,7 +151,7 @@ class Renderer:
         normal_img, pix_to_face, _ = raster_lib.rasterize_normals_fused(
             face_verts, face_normals, self.image_size,
             capacity=self.bin_capacity,
-            interpret=jax.default_backend() == "cpu",
+            interpret=raster_lib.default_interpret(),
         )
         mask = (pix_to_face >= 0)[..., None].astype(normal_img.dtype)
         shade = shading.directional_shading(normal_img)

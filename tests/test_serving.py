@@ -1,0 +1,66 @@
+"""Serving export: AOT StableHLO artifact roundtrip + TPU cross-lowering."""
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from smirk_tpu import assets, serving
+from smirk_tpu.config import ArchConfig, Config
+from smirk_tpu.train import SmirkSystem
+
+TINY = [[("ds", 16, 16, 2)], [("ir", 24, 24, 2)], [("cn", 0, 40, 1)]]
+
+
+@pytest.fixture(scope="module")
+def tiny_system():
+    from smirk_tpu.models import mobilenetv3 as mnv3
+
+    mnv3.ARCHS["tf_mobilenetv3_small_minimal_100"] = (TINY, 40)
+    mnv3.ARCHS["tf_mobilenetv3_large_minimal_100"] = (TINY, 40)
+    cfg = Config(image_size=64, arch=ArchConfig(num_expression=10, num_shape=30))
+    system = SmirkSystem(cfg, assets.load_all(), steps_per_epoch=10,
+                         use_pallas=False, generator_features=8,
+                         generator_res_blocks=1)
+    state = system.init_state(jax.random.PRNGKey(0))
+    return system, state
+
+
+def test_export_roundtrip_matches_direct(tiny_system, tmp_path):
+    system, state = tiny_system
+    path = serving.export_inference(system, state.encoder,
+                                    str(tmp_path / "art"), batch_size=2)
+    assert path.endswith(".stablehlo") and os.path.getsize(path) > 1000
+    meta = json.load(open(path + ".json"))
+    assert meta["input"]["shape"] == [2, 64, 64, 3]
+
+    serve = serving.load_inference(path)
+    img = np.random.default_rng(0).random((2, 64, 64, 3)).astype(np.float32)
+    out = serve(img)
+    direct = serving.make_inference_fn(system, state.encoder)(img)
+    assert set(out) == set(k for k in serving.OUTPUT_KEYS if k in direct)
+    for k in out:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(direct[k]),
+                                   atol=1e-5, err_msg=k)
+
+
+def test_export_tpu_cross_lowering_contains_mosaic(tmp_path):
+    """A TPU artifact exported from this CPU host must embed the real Pallas
+    kernels (tpu_custom_call), not the interpret-mode lax graph."""
+    from smirk_tpu.models import mobilenetv3 as mnv3
+
+    mnv3.ARCHS["tf_mobilenetv3_small_minimal_100"] = (TINY, 40)
+    mnv3.ARCHS["tf_mobilenetv3_large_minimal_100"] = (TINY, 40)
+    cfg = Config(image_size=64, arch=ArchConfig(num_expression=10, num_shape=30))
+    system = SmirkSystem(cfg, assets.load_all(), steps_per_epoch=10,
+                         use_pallas=True, generator_features=8,
+                         generator_res_blocks=1)
+    state = system.init_state(jax.random.PRNGKey(0))
+    path = serving.export_inference(system, state.encoder,
+                                    str(tmp_path / "tpu_art"), batch_size=2,
+                                    platforms=["tpu"])
+    blob = open(path, "rb").read()
+    assert b"tpu_custom_call" in blob
+    meta = json.load(open(path + ".json"))
+    assert meta["platforms"] == ["tpu"]

@@ -1,0 +1,45 @@
+"""Export the inference step as a serving artifact (jax.export StableHLO).
+
+  python tools/export_serving.py --out artifacts/smirk_b8 --batch 8 \\
+      [--checkpoint pretrained_models/SMIRK_em1.pt] [--platform tpu]
+
+Weights are baked in; the serving host only needs jax to deserialize and
+call (smirk_tpu.serving.load_inference).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--platform", default=None,
+                   help="lowering target (e.g. tpu); default: current backend")
+    args = p.parse_args(argv)
+
+    from smirk_tpu import serving
+    from smirk_tpu.cli.demo import build_system
+
+    # pick the raster implementation for the TARGET platform (the Pallas
+    # kernels cross-lower to TPU from any host; the jnp path serves CPU)
+    import jax
+
+    if os.environ.get("SMIRK_PLATFORM"):  # must apply BEFORE default_backend
+        jax.config.update("jax_platforms", os.environ["SMIRK_PLATFORM"])
+    target = args.platform or jax.default_backend()
+    system, state = build_system(args.checkpoint, use_generator=False,
+                                 use_pallas=target not in ("cpu",))
+    path = serving.export_inference(
+        system, state.encoder, args.out, batch_size=args.batch,
+        platforms=[args.platform] if args.platform else None,
+    )
+    print("wrote", path, "and", path + serving.META_SUFFIX)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
