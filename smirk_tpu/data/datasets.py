@@ -202,13 +202,23 @@ class VideoFrameDataset(FaceDataset):
     Covers LRS3 (fan pkl + mediapipe npy tracks, reference
     datasets/lrs3_dataset.py) and MEAD-style layouts. items: list of
     (video_path, fan_pkl_or_None, mediapipe_npy).
+
+    Temporal sampling (reference declares `K` / `LRS3_temporal_sampling` in
+    config but never implements them — configs/config_train.yaml:6,86): with
+    temporal=True and config.K > 1, a sample is a window of K CONSECUTIVE
+    frames, each cropped from its own tracked landmarks but sharing one
+    augmentation draw (same scale/photometric/shift parameters across the
+    window), stacked on a leading K axis. The collate folds windows into the
+    batch axis (batch-of-windows is still plain data parallelism on the
+    mesh — SURVEY §5 long-context row).
     """
 
     name = "video"
 
-    def __init__(self, config, items: List, test=False):
+    def __init__(self, config, items: List, test=False, temporal=False):
         super().__init__(config, test)
         self.items = items
+        self.K = int(config.K) if (temporal and not test) else 1
 
     def __len__(self):
         return len(self.items)
@@ -228,15 +238,44 @@ class VideoFrameDataset(FaceDataset):
         cv2 = _cv2()
         cap = cv2.VideoCapture(video_p)
         n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-        idx = int(rng.integers(0, n))
-        cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
-        ret, frame = cap.read()
-        cap.release()
-        if not ret:
+        if n <= 0:
+            cap.release()
             return None
-        frame = frame[..., ::-1]  # BGR -> RGB
-        fan = fan_track[idx] if fan_track is not None else None
-        return self._prepare(rng, frame, fan, mp_track[idx])
+        K = max(1, self.K)
+        start = int(rng.integers(0, max(1, n - K + 1)))
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+        frames = []
+        for _ in range(K):
+            ret, frame = cap.read()
+            if not ret:
+                break
+            frames.append(frame[..., ::-1])  # BGR -> RGB
+        cap.release()
+        if not frames:
+            return None
+        while len(frames) < K:  # short-clip tail: repeat last (static shapes)
+            frames.append(frames[-1])
+
+        if K == 1:
+            fan = fan_track[start] if fan_track is not None else None
+            return self._prepare(rng, frames[0], fan, mp_track[start])
+
+        # one augmentation draw shared across the window: same-seeded rng per
+        # frame replays identical scale/augment parameters (the crop tform
+        # still tracks each frame's own landmarks)
+        seed = int(rng.integers(0, 2**31 - 1))
+        samples = []
+        for t, frame in enumerate(frames):
+            i = min(start + t, len(mp_track) - 1, n - 1)
+            fan = fan_track[i] if fan_track is not None else None
+            samples.append(
+                self._prepare(np.random.default_rng(seed), frame, fan,
+                              mp_track[i])
+            )
+        return {
+            k: np.stack([np.asarray(s[k]) for s in samples])
+            for k in samples[0]
+        }
 
 
 def get_lrs3_items(lrs3_path: str, landmarks_path: str, lists_pkl: str):

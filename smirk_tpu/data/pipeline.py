@@ -66,9 +66,21 @@ class ConcatDataset:
 
 
 def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack samples; temporal windows (img ndim 4, see VideoFrameDataset)
+    are folded into the batch axis -> (sum K_i, ...). Mixed window/frame
+    batches stay rectangular: single frames become K=1 windows."""
     samples = [s for s in samples if s is not None]
     keys = samples[0].keys()
-    return {k: np.stack([np.asarray(s[k]) for s in samples]) for k in keys}
+    if all(np.asarray(s["img"]).ndim == 3 for s in samples):
+        return {k: np.stack([np.asarray(s[k]) for s in samples])
+                for k in keys}
+    out = {}
+    for k in keys:
+        arrs = [np.asarray(s[k]) for s in samples]
+        base = min(a.ndim for a in arrs)  # per-frame rank for this key
+        arrs = [a if a.ndim > base else a[None] for a in arrs]
+        out[k] = np.concatenate(arrs, axis=0)
+    return out
 
 
 class DataLoader:
@@ -190,7 +202,8 @@ def load_dataloaders(config, synthetic: bool = False):
         tr, va, te = D.get_lrs3_items(
             d.LRS3_path, d.LRS3_landmarks_path, "assets/LRS3_lists.pkl"
         )
-        parts.insert(0, D.VideoFrameDataset(config, tr))
+        parts.insert(0, D.VideoFrameDataset(
+            config, tr, temporal=d.LRS3_temporal_sampling))
         ratios.insert(0, d.LRS3_percentage)
         val_parts.insert(0, D.VideoFrameDataset(config, va, test=True))
     except FileNotFoundError:

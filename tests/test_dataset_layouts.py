@@ -175,3 +175,50 @@ def test_get_mead_sides_items_views_and_split(tmp_path):
     train, val, test = D.get_mead_sides_items(cfg)
     assert len(train) == 2 and len(val) == 2 and len(test) == 2  # 2 views
     assert all(item[1] is None for item in train)  # no FAN for sides
+
+
+def test_video_frame_dataset_temporal_windows(tmp_path):
+    """K>1 temporal sampling: a sample is a window of K consecutive frames
+    (leading K axis), the shared augmentation seed keeps the crop scale
+    identical across the window, and collate folds windows into the batch
+    axis (mixed with single-frame samples)."""
+    cv2 = pytest.importorskip("cv2")  # noqa: F841
+    from smirk_tpu.data.pipeline import collate
+
+    rng = np.random.default_rng(5)
+    n_frames = 6
+    frames = [_img(rng) for _ in range(n_frames)]
+    video_p = tmp_path / "tclip.mp4"
+    _write_video(video_p, frames)
+    fan, mp = _landmarks(rng)
+    with open(tmp_path / "tclip.pkl", "wb") as f:
+        pickle.dump([fan + i for i in range(n_frames)], f)
+    np.save(tmp_path / "tclip.npy",
+            np.stack([mp + i for i in range(n_frames)]))
+
+    K = 3
+    cfg = Config(image_size=64, K=K)
+    items = [(str(video_p), str(tmp_path / "tclip.pkl"),
+              str(tmp_path / "tclip.npy"))]
+    ds = D.VideoFrameDataset(cfg, items, temporal=True)
+    s = ds[0]
+    assert s["img"].shape == (K, 64, 64, 3)
+    assert s["landmarks_fan"].shape == (K, 68, 2)
+    assert s["flag_landmarks_fan"].shape == (K,)
+    assert s["mask"].shape == (K, 64, 64, 1)
+
+    # test=True disables temporal sampling (static eval shapes)
+    ds_test = D.VideoFrameDataset(cfg, items, test=True, temporal=True)
+    assert ds_test[0]["img"].shape == (64, 64, 3)
+
+    # collate: window + single frame -> folded batch of 4 frames
+    batch = collate([s, ds_test[0]])
+    assert batch["img"].shape == (K + 1, 64, 64, 3)
+    assert batch["flag_landmarks_fan"].shape == (K + 1,)
+
+    # short-clip tail: window start near the end repeats the last frame
+    cfg1 = Config(image_size=64, K=n_frames + 4)
+    ds_long = D.VideoFrameDataset(cfg1, items, temporal=True)
+    s_long = ds_long[0]
+    assert s_long["img"].shape == (n_frames + 4, 64, 64, 3)
+    assert np.allclose(s_long["img"][-1], s_long["img"][-2])
