@@ -127,21 +127,15 @@ def rasterize_coverage_jnp(
 # --------------------------------------------------------------------------
 
 
-def bin_faces(
-    face_verts: jnp.ndarray, image_size: int, capacity: int
-) -> jnp.ndarray:
-    """Assign triangles to pixel tiles by bounding box. -> (B, Tp, C) int32,
-    -1 padded, where T = (H/TILE_ROWS)*(Wpad/TILE_COLS) and Tp rounds T up to
-    a multiple of 8 (VMEM sublane tiling for the kernel's (1,8,C) blocks).
+def _bbox_and_priority(face_verts: jnp.ndarray, image_size: int):
+    """Pixel-space bboxes + near-to-far unique priority per face.
 
-    Conservative (bbox) test; extra faces only cost kernel iterations.
+    Depth priority uses quantized z buckets + face id as tiebreak (exact
+    argsort ranks cost ~3ms/batch64 in XLA sorts); the id tiebreak keeps the
+    sequential first-face-wins semantics within a bucket.
     """
-    B, F = face_verts.shape[:2]
     H = W = image_size
-    ty = -(-H // TILE_ROWS)
-    tx = -(-W // TILE_COLS)
-    T = ty * tx
-
+    F = face_verts.shape[1]
     x = face_verts[..., 0]
     y = face_verts[..., 1]
     # NDC -> continuous pixel coords (pixel r center at r + 0.5)
@@ -149,6 +143,54 @@ def bin_faces(
     py = (y * H + H - 1.0) / 2.0
     xmin, xmax = px.min(-1), px.max(-1)  # (B,F)
     ymin, ymax = py.min(-1), py.max(-1)
+    zmean = face_verts[..., 2].mean(-1)  # (B,F)
+    zlo = zmean.min(-1, keepdims=True)
+    zhi = zmean.max(-1, keepdims=True)
+    NB = 255
+    zbucket = jnp.clip(
+        ((zmean - zlo) / jnp.maximum(zhi - zlo, 1e-12) * NB), 0, NB
+    ).astype(jnp.int32)  # (B,F), 0 = closest
+    prio = zbucket * F + jnp.arange(F, dtype=jnp.int32)[None]  # unique
+    return xmin, xmax, ymin, ymax, prio, (NB + 2) * F
+
+
+def _pad_bins(bins, counts, capacity, k, T):
+    """Pad slot axis to `capacity` and tile axis to a multiple of 8 (VMEM
+    sublane tiling for the kernel's (1,8,C) SMEM blocks)."""
+    B = bins.shape[0]
+    if k < capacity:
+        bins = jnp.concatenate(
+            [bins, jnp.full((B, T, capacity - k), -1, jnp.int32)], axis=-1
+        )
+    Tp = -(-T // 8) * 8
+    if Tp != T:
+        bins = jnp.concatenate(
+            [bins, jnp.full((B, Tp - T, capacity), -1, jnp.int32)], axis=1
+        )
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((B, Tp - T), jnp.int32)], axis=1
+        )
+    return bins, counts
+
+
+def bin_faces_flat(
+    face_verts: jnp.ndarray, image_size: int, capacity: int
+) -> jnp.ndarray:
+    """Assign triangles to pixel tiles by bounding box. -> (B, Tp, C) int32,
+    -1 padded, where T = (H/TILE_ROWS)*(Wpad/TILE_COLS) and Tp rounds T up to
+    a multiple of 8.
+
+    Conservative (bbox) test; extra faces only cost kernel iterations.
+    One top_k over all F faces per tile.
+    """
+    B, F = face_verts.shape[:2]
+    H = W = image_size
+    ty = -(-H // TILE_ROWS)
+    tx = -(-W // TILE_COLS)
+    T = ty * tx
+    xmin, xmax, ymin, ymax, prio, prio_span = _bbox_and_priority(
+        face_verts, image_size
+    )
 
     tile_r0 = (jnp.arange(ty) * TILE_ROWS).astype(jnp.float32)
     tile_c0 = (jnp.arange(tx) * TILE_COLS).astype(jnp.float32)
@@ -167,37 +209,131 @@ def bin_faces(
     # TPU (measured 60ms/batch64). Faces are prioritized NEAR-TO-FAR so that
     # when a bin overflows its capacity, the dropped faces are the farthest —
     # overwhelmingly occluded — ones, keeping overflow artifacts negligible
-    # (PyTorch3D's max_faces_per_bin overflow drops arbitrarily). Depth
-    # priority uses quantized z buckets + face id as tiebreak (exact argsort
-    # ranks cost ~3ms/batch64 in XLA sorts); the id tiebreak keeps the
-    # sequential first-face-wins semantics within a bucket.
-    zmean = face_verts[..., 2].mean(-1)  # (B,F)
-    zlo = zmean.min(-1, keepdims=True)
-    zhi = zmean.max(-1, keepdims=True)
-    NB = 255
-    zbucket = jnp.clip(
-        ((zmean - zlo) / jnp.maximum(zhi - zlo, 1e-12) * NB), 0, NB
-    ).astype(jnp.int32)  # (B,F), 0 = closest
-    prio = zbucket * F + jnp.arange(F, dtype=jnp.int32)[None]  # unique
-    key = overlap.astype(jnp.int32) * ((NB + 2) * F) - prio[:, None, :]
+    # (PyTorch3D's max_faces_per_bin overflow drops arbitrarily).
+    key = overlap.astype(jnp.int32) * prio_span - prio[:, None, :]
     k = min(capacity, F)
     vals, idx = jax.lax.top_k(key, k)  # (B,T,k)
     valid = vals > 0
     bins = jnp.where(valid, idx, -1).astype(jnp.int32)
-    if k < capacity:
-        bins = jnp.concatenate(
-            [bins, jnp.full((B, T, capacity - k), -1, jnp.int32)], axis=-1
-        )
     counts = valid.sum(-1).astype(jnp.int32)  # (B,T)
-    Tp = -(-T // 8) * 8
-    if Tp != T:
-        bins = jnp.concatenate(
-            [bins, jnp.full((B, Tp - T, capacity), -1, jnp.int32)], axis=1
+    return _pad_bins(bins, counts, capacity, k, T)
+
+
+# Hierarchical binning knobs: BAND_TILES row-tiles per coarse band (32 px),
+# coarse candidate list size per band. 3408 render faces at 224px put
+# ~700-900 faces in the densest 32px band; 1024 + near-to-far priority means
+# any coarse overflow drops only the farthest (occluded) faces.
+BAND_TILES = 4
+COARSE_CAPACITY = 1024
+
+
+def bin_faces_hier(
+    face_verts: jnp.ndarray,
+    image_size: int,
+    capacity: int,
+    band_tiles: int = BAND_TILES,
+    coarse_capacity: int = COARSE_CAPACITY,
+) -> jnp.ndarray:
+    """Two-level binning with the same output contract as bin_faces_flat.
+
+    Level 1 compacts faces into horizontal bands of `band_tiles` row-tiles
+    (top_k over all F faces, but only ceil(ty/band_tiles) rows instead of
+    ty*tx). Level 2 selects each 8x128 tile's faces from its band's
+    candidate list (top_k over coarse_capacity << F). Because top_k returns
+    keys in descending order, the coarse candidate list is already sorted
+    near-to-far, so the fine stage's priority is simply the candidate
+    position — overflow still drops the farthest faces first.
+    """
+    B, F = face_verts.shape[:2]
+    H = W = image_size
+    ty = -(-H // TILE_ROWS)
+    tx = -(-W // TILE_COLS)
+    T = ty * tx
+    nb = -(-ty // band_tiles)
+    xmin, xmax, ymin, ymax, prio, prio_span = _bbox_and_priority(
+        face_verts, image_size
+    )
+
+    # ---- coarse: faces -> bands of band_tiles*TILE_ROWS pixel rows ----
+    band_rows = band_tiles * TILE_ROWS
+    band_r0 = (jnp.arange(nb) * band_rows).astype(jnp.float32)
+    ov_band = (ymax[:, None, :] >= band_r0[None, :, None]) & (
+        ymin[:, None, :] <= band_r0[None, :, None] + band_rows - 1
+    )  # (B,nb,F)
+    C1 = min(coarse_capacity, F)
+    key_c = ov_band.astype(jnp.int32) * prio_span - prio[:, None, :]
+    vals_c, cand = jax.lax.top_k(key_c, C1)  # (B,nb,C1) depth-sorted
+    valid_c = vals_c > 0
+
+    def gather_bf(a):  # (B,F) -> (B,nb,C1)
+        return jnp.take_along_axis(
+            jnp.broadcast_to(a[:, None, :], (B, nb, F)), cand, axis=-1
         )
-        counts = jnp.concatenate(
-            [counts, jnp.zeros((B, Tp - T), jnp.int32)], axis=1
-        )
-    return bins, counts
+
+    cxmin, cxmax = gather_bf(xmin), gather_bf(xmax)
+    cymin, cymax = gather_bf(ymin), gather_bf(ymax)
+
+    # ---- fine: band candidates -> 8x128 tiles within the band ----
+    sub_r0 = (
+        band_r0[:, None] + (jnp.arange(band_tiles) * TILE_ROWS)[None, :]
+    )  # (nb, band_tiles)
+    ov_r = (cymax[:, :, None, :] >= sub_r0[None, :, :, None]) & (
+        cymin[:, :, None, :] <= sub_r0[None, :, :, None] + TILE_ROWS - 1
+    )  # (B,nb,band_tiles,C1)
+    tile_c0 = (jnp.arange(tx) * TILE_COLS).astype(jnp.float32)
+    ov_c = (cxmax[:, :, None, :] >= tile_c0[None, None, :, None]) & (
+        cxmin[:, :, None, :] <= tile_c0[None, None, :, None] + TILE_COLS - 1
+    )  # (B,nb,tx,C1)
+    ov = (
+        ov_r[:, :, :, None, :]
+        & ov_c[:, :, None, :, :]
+        & valid_c[:, :, None, None, :]
+    )  # (B,nb,band_tiles,tx,C1)
+
+    pos = jnp.arange(C1, dtype=jnp.int32)
+    key_f = ov.astype(jnp.int32) * (C1 + 1) - pos  # pos 0 non-overlap -> 0
+    k = min(capacity, C1)
+    vals_f, idx_f = jax.lax.top_k(key_f, k)  # (B,nb,band_tiles,tx,k)
+    valid_f = vals_f > 0
+    ids = jnp.take_along_axis(
+        jnp.broadcast_to(
+            cand[:, :, None, None, :], (B, nb, band_tiles, tx, C1)
+        ),
+        idx_f,
+        axis=-1,
+    )
+    bins = jnp.where(valid_f, ids, -1).astype(jnp.int32)
+    counts = valid_f.sum(-1).astype(jnp.int32)  # (B,nb,band_tiles,tx)
+    # (B, nb*band_tiles, tx, ...) -> crop padded bands -> (B, T, ...)
+    bins = bins.reshape(B, nb * band_tiles, tx, k)[:, :ty].reshape(B, T, k)
+    counts = counts.reshape(B, nb * band_tiles, tx)[:, :ty].reshape(B, T)
+    return _pad_bins(bins, counts, capacity, k, T)
+
+
+# Module-level default. MEASURED NEGATIVE (tools/tpu_bin_bench.py, v5e-1,
+# B=64 F=3408 cap=384): hier 42.4ms vs flat 7.2ms standalone — the coarse
+# k=1024 top_k hits a slow path — and the fused render is binning-
+# insensitive (24.3 vs 24.4ms), so flat stays the default. The hier path is
+# kept (output-identical, tested) as the starting point if binning ever
+# reappears on a profile.
+_BIN_HIER = False
+
+
+def set_bin_mode(hier: bool) -> None:
+    global _BIN_HIER
+    _BIN_HIER = hier
+
+
+def bin_faces(
+    face_verts: jnp.ndarray, image_size: int, capacity: int
+) -> jnp.ndarray:
+    F = face_verts.shape[1]
+    ty = -(-image_size // TILE_ROWS)
+    # hierarchy only pays off when the coarse list is a real reduction and
+    # there is more than one band of tiles
+    if _BIN_HIER and F > 2 * COARSE_CAPACITY and ty > BAND_TILES:
+        return bin_faces_hier(face_verts, image_size, capacity)
+    return bin_faces_flat(face_verts, image_size, capacity)
 
 
 def _raster_kernel(counts_ref, bins_ref, fv_ref, face_out, z_out, *, H, W, TX):
@@ -466,15 +602,58 @@ def face_records(face_verts: jnp.ndarray) -> jnp.ndarray:
 
 V3_CHUNK = 32  # faces per inner step; bounds kernel VMEM stack (~16MB/core)
 
+# Tiles per grid step. The Mosaic per-grid-step overhead (~45us) dominated
+# the z-buffer kernels at 8 tiles/step (448 steps for batch64@224px ~= 20ms
+# of pure launch overhead); fatter steps amortize it. Bounded by VMEM: the
+# records block is TPS x capacity x 128 lanes x 4B, double-buffered.
+_TPS_OVERRIDE: Optional[int] = None  # experiment hook (tools/tpu_*_bench)
 
-def _raster_kernel_v3(counts_ref, recs_ref, face_out, z_out, slot_out, *, H, W, TX):
-    """8 pixel tiles per grid step; vectorized over (CHUNK, 1024) faces.
 
-    recs_ref: (1,8,C,16) VMEM — per-tile gathered face records, lane 12 holds
-    float(face id) (-1 for empty slots); face/z out: (1,8,1024) in tile-major
-    layout (reassembled to image layout by the caller). Faces are processed
-    in chunks of V3_CHUNK with a running (z, fid) merge so the live VMEM
-    footprint stays ~V3_CHUNK x 1024 x few arrays.
+def _pick_tps(Tp: int, capacity: int) -> int:
+    if _TPS_OVERRIDE is not None:
+        return _TPS_OVERRIDE
+    # multiple of 8 (SMEM blocks need 8-row shapes); keep the records
+    # double-buffer under ~10MB of the 16MB VMEM. Tp is padded up to a TPS
+    # multiple — padding tiles have count 0 and cost only their block copy.
+    budget = 10 * 1024 * 1024
+    per_tile = capacity * 128 * 4 * 2
+    tps = (budget // per_tile) // 8 * 8
+    # default 8: the TPS sweep (tools/tpu_tps_bench.py, v5e-1) measured
+    # 8/16/24 identical for the fused kernel (24.3ms — compute-bound, not
+    # launch-overhead-bound) and slightly WORSE for grad (47.8 -> 51.1ms),
+    # so fatter steps buy nothing and cost VMEM; the hook stays for
+    # experiments on other shapes
+    return int(max(8, min(-(-Tp // 8) * 8, tps, 8)))
+
+
+def _pad_tiles_to(bins, counts, tps: int):
+    """Extra tile padding so Tp is a multiple of the chosen TPS."""
+    B, Tp, C = bins.shape
+    Tq = -(-Tp // tps) * tps
+    if Tq != Tp:
+        bins = jnp.concatenate(
+            [bins, jnp.full((B, Tq - Tp, C), -1, jnp.int32)], axis=1
+        )
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((B, Tq - Tp), jnp.int32)], axis=1
+        )
+    return bins, counts
+
+
+def _raster_kernel_v3(counts_ref, recs_ref, face_out, z_out, slot_out,
+                      *, H, W, TX, TPS):
+    """TPS pixel tiles per grid step; vectorized over (CHUNK, 1024) faces.
+
+    recs_ref: (1,TPS,C,16) VMEM — per-tile gathered face records, lane 12
+    holds float(face id) (-1 for empty slots); face/z out: (1,TPS,1024) in
+    tile-major layout (reassembled to image layout by the caller). Faces are
+    processed in chunks of V3_CHUNK with a running (z, fid) merge so the live
+    VMEM footprint stays ~V3_CHUNK x 1024 x few arrays.
+
+    (A depth-sorted early-exit variant — stop once all pixels are covered
+    and max(winner z) <= the next chunk's min vertex z — was measured and
+    REVERTED: the per-chunk scalar reductions + while_loop cost 52ms vs
+    24ms for the straight fori_loop; tools/tpu_earlyexit_bench.py.)
     """
     g = pl.program_id(1)
     C = recs_ref.shape[2]
@@ -485,8 +664,8 @@ def _raster_kernel_v3(counts_ref, recs_ref, face_out, z_out, slot_out, *, H, W, 
     pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
     slot = jax.lax.broadcasted_iota(jnp.int32, (CH, P), 0)
 
-    for j in range(8):  # static unroll over the 8 tiles in this block
-        t = g * 8 + j
+    for j in range(TPS):  # static unroll over the tiles in this block
+        t = g * TPS + j
         ty = t // TX
         tx = t % TX
         xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
@@ -546,6 +725,8 @@ def _v3_impl(
     T = ty * tx
 
     bins, counts = bin_faces(face_verts, image_size, capacity)  # (B,Tp,C)
+    tps = _pick_tps(bins.shape[1], capacity)
+    bins, counts = _pad_tiles_to(bins, counts, tps)
     Tp = bins.shape[1]
     records = face_records(face_verts)  # (B,F,16)
     records = records.at[..., 12].set(
@@ -557,24 +738,25 @@ def _v3_impl(
     kill = jnp.zeros((REC_LANES,), face_verts.dtype).at[2].set(-1.0).at[12].set(-1.0)
     recs = jnp.where((bins < 0)[..., None], kill, recs)
 
-    grid = (B, Tp // 8)
+    grid = (B, Tp // tps)
     P = TILE_ROWS * TILE_COLS
     out_face, out_z, out_slot = pl.pallas_call(
-        functools.partial(_raster_kernel_v3, H=H, W=W, TX=tx),
+        functools.partial(_raster_kernel_v3, H=H, W=W, TX=tx, TPS=tps),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (8, 1), lambda b, g, Tp=Tp: ((b * Tp + g * 8) // 8, 0),
+                (tps, 1),
+                lambda b, g, Tp=Tp, tps=tps: ((b * Tp + g * tps) // tps, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, 8, capacity, REC_LANES), lambda b, g: (b, g, 0, 0)
+                (1, tps, capacity, REC_LANES), lambda b, g: (b, g, 0, 0)
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, P), lambda b, g: (b, g, 0)),
-            pl.BlockSpec((1, 8, P), lambda b, g: (b, g, 0)),
-            pl.BlockSpec((1, 8, P), lambda b, g: (b, g, 0)),
+            pl.BlockSpec((1, tps, P), lambda b, g: (b, g, 0)),
+            pl.BlockSpec((1, tps, P), lambda b, g: (b, g, 0)),
+            pl.BlockSpec((1, tps, P), lambda b, g: (b, g, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Tp, P), jnp.int32),
@@ -589,7 +771,11 @@ def _v3_impl(
         x = x.transpose(0, 1, 3, 2, 4).reshape(B, Hp, Wp)
         return x[:, :H, :W]
 
-    return to_image(out_face), to_image(out_z), to_image(out_slot), bins
+    # bins truncated back to the 8-padded tile count: the TPS padding tiles
+    # are all -1 and the backward's image_to_tiles/segment_reduce work at the
+    # 8-padded count
+    Tp8 = -(-T // 8) * 8
+    return to_image(out_face), to_image(out_z), to_image(out_slot), bins[:, :Tp8]
 
 
 @functools.partial(
@@ -676,7 +862,7 @@ def face_records_shaded(
 
 
 def _raster_kernel_v4(counts_ref, recs_ref, face_out, z_out,
-                      nx_out, ny_out, nz_out, *, H, W, TX):
+                      nx_out, ny_out, nz_out, *, H, W, TX, TPS):
     """v3 + in-kernel evaluation of the winner's interpolated normal."""
     g = pl.program_id(1)
     C = recs_ref.shape[2]
@@ -687,8 +873,8 @@ def _raster_kernel_v4(counts_ref, recs_ref, face_out, z_out,
     pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
     slot = jax.lax.broadcasted_iota(jnp.int32, (CH, P), 0)
 
-    for j in range(8):
-        t = g * 8 + j
+    for j in range(TPS):
+        t = g * TPS + j
         ty = t // TX
         tx = t % TX
         xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
@@ -758,6 +944,8 @@ def rasterize_normals_fused(
     T = ty * tx
 
     bins, counts = bin_faces(face_verts, image_size, capacity)
+    tps = _pick_tps(bins.shape[1], capacity)
+    bins, counts = _pad_tiles_to(bins, counts, tps)
     Tp = bins.shape[1]
     records = face_records_shaded(face_verts, face_normals)
     records = records.at[..., 12].set(
@@ -771,15 +959,17 @@ def rasterize_normals_fused(
 
     P = TILE_ROWS * TILE_COLS
     outs = pl.pallas_call(
-        functools.partial(_raster_kernel_v4, H=H, W=W, TX=tx),
-        grid=(B, Tp // 8),
+        functools.partial(_raster_kernel_v4, H=H, W=W, TX=tx, TPS=tps),
+        grid=(B, Tp // tps),
         in_specs=[
-            pl.BlockSpec((8, 1), lambda b, g, Tp=Tp: ((b * Tp + g * 8) // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, capacity, RECF_LANES),
+            pl.BlockSpec(
+                (tps, 1),
+                lambda b, g, Tp=Tp, tps=tps: ((b * Tp + g * tps) // tps, 0),
+                memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tps, capacity, RECF_LANES),
                          lambda b, g: (b, g, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, 8, P), lambda b, g: (b, g, 0))] * 5,
+        out_specs=[pl.BlockSpec((1, tps, P), lambda b, g: (b, g, 0))] * 5,
         out_shape=[jax.ShapeDtypeStruct((B, Tp, P), jnp.int32)]
         + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * 4,
         interpret=interpret,
@@ -820,30 +1010,28 @@ def image_to_tiles(x: jnp.ndarray, image_size: int):
     return x
 
 
-def _segment_reduce_kernel(slots_ref, gpx_ref, out_ref, *, SC):
-    """Per tile: out[s, :] = sum over pixels with slot==s of gpx[p, :].
+def _segment_reduce_kernel(slots_ref, gpx_ref, out_ref, *, SC, TPS):
+    """Per tile: out[s, :] = sum over pixels with slot==s of payload[:, p].
 
-    slots_ref (1,8,P) int32; gpx_ref (1,8,P,CHN) f32; out (1,8,C,CHN).
-    One-hot matmul on the MXU in SC-slot chunks.
+    slots_ref (1,TPS,P) int32; gpx_ref (1,TPS,CHN,P) f32 — payload is
+    transposed so the P pixels sit on dense lanes (channels-minor wasted
+    14/16 of each VMEM lane row); out (1,TPS,C,CHN). Static chunk unroll:
+    C//SC one-hot matmuls on the MXU per tile.
     """
     C = out_ref.shape[2]
     P = slots_ref.shape[2]
-    for j in range(8):
+    for j in range(TPS):
         slot_row = slots_ref[0, pl.ds(j, 1), :]  # (1,P)
-        g = gpx_ref[0, j]  # (P,CHN)
-
-        def chunk(k, _, j=j, slot_row=slot_row, g=g):
+        g = gpx_ref[0, j]  # (CHN,P)
+        for k in range(C // SC):
             base = k * SC
             ids = jax.lax.broadcasted_iota(jnp.int32, (SC, P), 0) + base
             onehot = (ids == slot_row).astype(jnp.float32)
             part = jax.lax.dot_general(
-                onehot, g, (((1,), (0,)), ((), ())),
+                onehot, g, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (SC,CHN)
-            out_ref[0, j, pl.ds(pl.multiple_of(base, SC), SC), :] = part
-            return 0
-
-        jax.lax.fori_loop(0, C // SC, chunk, 0)
+            out_ref[0, j, base:base + SC, :] = part
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
@@ -858,17 +1046,33 @@ def segment_reduce_tiles(
     # largest power-of-two slot chunk that divides the capacity (capacities
     # are multiples of V3_CHUNK=32, but not necessarily of 128)
     SC = next(s for s in (128, 64, 32, 16, 8, 4, 2, 1) if capacity % s == 0)
-    return pl.pallas_call(
-        functools.partial(_segment_reduce_kernel, SC=SC),
-        grid=(B, Tp // 8),
+    gpx_t = jnp.swapaxes(gpx_tiles, 2, 3)  # (B,Tp,CHN,P): pixels on lanes
+    # tiles per step under the same VMEM budget as _pick_tps (the out block
+    # dominates: capacity x 128 lanes x 4B, double-buffered)
+    per_tile = (capacity * 128 + 16 * P + P) * 4 * 2
+    tps = int(max(8, min((10 * 1024 * 1024 // per_tile) // 8 * 8, 24)))
+    Tq = -(-Tp // tps) * tps
+    if Tq != Tp:
+        slots_tiles = jnp.concatenate(
+            [slots_tiles, jnp.full((B, Tq - Tp, P), -1, jnp.int32)], axis=1
+        )
+        gpx_t = jnp.concatenate(
+            [gpx_t, jnp.zeros((B, Tq - Tp, CHN, P), gpx_t.dtype)], axis=1
+        )
+    out = pl.pallas_call(
+        functools.partial(_segment_reduce_kernel, SC=SC, TPS=tps),
+        grid=(B, Tq // tps),
         in_specs=[
-            pl.BlockSpec((1, 8, P), lambda b, g: (b, g, 0)),
-            pl.BlockSpec((1, 8, P, CHN), lambda b, g: (b, g, 0, 0)),
+            pl.BlockSpec((1, tps, P), lambda b, g: (b, g, 0)),
+            pl.BlockSpec((1, tps, CHN, P), lambda b, g: (b, g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 8, capacity, CHN), lambda b, g: (b, g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, capacity, CHN), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, tps, capacity, CHN), lambda b, g: (b, g, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tq, capacity, CHN), jnp.float32),
         interpret=interpret,
-    )(slots_tiles, gpx_tiles)
+    )(slots_tiles, gpx_t)
+    return out[:, :Tp]
 
 
 def _pixelwise_interp(fv_px, attr_px, mask, image_size):
@@ -958,7 +1162,7 @@ REC5_LANES = 32  # [9 edge | 3 zplane | fid | PA(D) PB(D) PC(D) | pad], D<=6
 
 
 def _raster_kernel_v5(counts_ref, recs_ref, face_out, z_out, slot_out,
-                      *val_outs, H, W, TX, D):
+                      *val_outs, H, W, TX, D, TPS):
     """v3 coverage + in-kernel evaluation of D attribute planes."""
     g = pl.program_id(1)
     P = TILE_ROWS * TILE_COLS
@@ -968,8 +1172,8 @@ def _raster_kernel_v5(counts_ref, recs_ref, face_out, z_out, slot_out,
     pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
     slot = jax.lax.broadcasted_iota(jnp.int32, (CH, P), 0)
 
-    for j in range(8):
-        t = g * 8 + j
+    for j in range(TPS):
+        t = g * TPS + j
         ty = t // TX
         tx = t % TX
         xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
@@ -1031,6 +1235,8 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret):
     T = ty * tx
 
     bins, counts = bin_faces(face_verts, image_size, capacity)
+    tps = _pick_tps(bins.shape[1], capacity)
+    bins, counts = _pad_tiles_to(bins, counts, tps)
     Tp = bins.shape[1]
     base = face_records(face_verts)[..., :13]
     base = base.at[..., 12].set(jnp.arange(F, dtype=face_verts.dtype)[None])
@@ -1045,15 +1251,17 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret):
 
     P = TILE_ROWS * TILE_COLS
     outs = pl.pallas_call(
-        functools.partial(_raster_kernel_v5, H=H, W=W, TX=tx, D=D),
-        grid=(B, Tp // 8),
+        functools.partial(_raster_kernel_v5, H=H, W=W, TX=tx, D=D, TPS=tps),
+        grid=(B, Tp // tps),
         in_specs=[
-            pl.BlockSpec((8, 1), lambda b, g, Tp=Tp: ((b * Tp + g * 8) // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, capacity, REC5_LANES),
+            pl.BlockSpec(
+                (tps, 1),
+                lambda b, g, Tp=Tp, tps=tps: ((b * Tp + g * tps) // tps, 0),
+                memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tps, capacity, REC5_LANES),
                          lambda b, g: (b, g, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, 8, P), lambda b, g: (b, g, 0))] * (3 + D),
+        out_specs=[pl.BlockSpec((1, tps, P), lambda b, g: (b, g, 0))] * (3 + D),
         out_shape=[
             jax.ShapeDtypeStruct((B, Tp, P), jnp.int32),
             jax.ShapeDtypeStruct((B, Tp, P), jnp.float32),
@@ -1070,7 +1278,8 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret):
     zbuf = to_image(outs[1])
     p2slot = to_image(outs[2])
     vals = jnp.stack([to_image(o) for o in outs[3:]], axis=-1)
-    return vals, p2f, zbuf, p2slot, bins
+    Tp8 = -(-T // 8) * 8  # see _v3_impl: backward works at the 8-padded count
+    return vals, p2f, zbuf, p2slot, bins[:, :Tp8]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

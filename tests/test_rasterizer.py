@@ -383,3 +383,73 @@ def test_planes_diff_capacity_not_multiple_of_128():
         scale = max(float(np.abs(np.asarray(b)).max()), 1.0)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3 * scale)
+
+
+def _facelike_scene(rng, B=2, F=3408, spread=0.7, tri=0.03):
+    c = rng.uniform(-spread, spread, (B, F, 1, 2))
+    xy = c + rng.uniform(-tri, tri, (B, F, 3, 2))
+    z = rng.uniform(9.5, 10.5, (B, F, 1, 1)) + rng.uniform(
+        -0.01, 0.01, (B, F, 3, 1)
+    )
+    return jnp.asarray(
+        np.concatenate([xy, np.broadcast_to(z, (B, F, 3, 1))], -1), jnp.float32
+    )
+
+
+def test_hierarchical_binning_matches_flat():
+    """Two-level binning (coarse 32px bands -> fine 8x128 tiles) must produce
+    exactly the flat binning's bins/counts: the coarse candidate list is
+    depth-sorted by top_k, so fine position-priority reproduces the flat
+    (zbucket, id) order, including overflow-drops-farthest."""
+    rng = np.random.default_rng(3)
+    fv = _facelike_scene(rng)
+    for cap in (64, 384):
+        bf, cf = R.bin_faces_flat(fv, 224, cap)
+        bh, ch = R.bin_faces_hier(fv, 224, cap)
+        assert (cf == ch).all() and (bf == bh).all()
+    # dense scene forcing coarse-band overflow (>COARSE_CAPACITY per band):
+    # the kept `capacity` nearest per tile must still agree
+    fv2 = _facelike_scene(rng, spread=0.05, tri=0.01)
+    bf, cf = R.bin_faces_flat(fv2, 224, 384)
+    bh, ch = R.bin_faces_hier(fv2, 224, 384)
+    assert (cf == ch).all() and (bf == bh).all()
+
+
+def test_bin_faces_dispatcher_small_f_uses_flat():
+    """Below the hierarchy's payoff threshold the dispatcher must fall back
+    to flat binning (F <= 2*COARSE_CAPACITY or a single band of tiles)."""
+    rng = np.random.default_rng(4)
+    fv = random_mesh(rng, F=40, B=1)
+    bd, cd = R.bin_faces(fv, 32, 16)
+    bf, cf = R.bin_faces_flat(fv, 32, 16)
+    assert (bd == bf).all() and (cd == cf).all()
+
+
+def test_early_exit_slanted_planes_safe():
+    """Early-exit regression: bins are sorted by MEAN z, but a later (higher
+    zmean) face can still win pixels where its slanted plane dips below the
+    current winner. The exit test (all covered AND max winner z <= next
+    chunk's min VERTEX z) must keep scanning in that case."""
+    # face A: full-screen, z 5 (left) -> 15 (right), zmean 10 (bin first)
+    # face B: full-screen, z 14 (left) -> 8 (right), zmean ~11 (bin LAST);
+    # B must win the right half despite A covering everything first. The
+    # mid faces (zmean 10.2-10.8, between A and B) push B into the third
+    # V3_CHUNK chunk so the early-exit check actually runs before B.
+    big = 3.0
+    A = [[-big, -big, 5.0], [big, -big, 15.0], [0.0, big, 10.0]]
+    Bf = [[-big, -big, 14.0], [big, -big, 8.0], [0.0, big, 11.0]]
+    mid = [
+        [[-0.1 + 0.001 * i, -0.1, 10.2 + 0.01 * i],
+         [0.1 + 0.001 * i, -0.1, 10.2 + 0.01 * i],
+         [0.001 * i, 0.1, 10.2 + 0.01 * i]]
+        for i in range(2 * R.V3_CHUNK)
+    ]
+    fv = make_face_verts([A] + mid + [Bf])
+    size = 32
+    p2f_o, _ = R.rasterize_coverage_jnp(fv, size)
+    cap = -(-fv.shape[1] // R.V3_CHUNK) * R.V3_CHUNK
+    p2f, _ = R.rasterize_coverage_pallas_v3(fv, size, capacity=cap,
+                                            interpret=True)
+    assert np.asarray(p2f_o)[0, 16, 28] != np.asarray(p2f_o)[0, 16, 2], \
+        "scene must split the winner between A and B"
+    assert (np.asarray(p2f) == np.asarray(p2f_o)).all()
