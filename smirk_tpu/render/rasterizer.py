@@ -1199,6 +1199,84 @@ def fold_slots_to_faces(
     return jnp.where((hi > lo)[..., None], upper - lower, 0.0)
 
 
+def _segment_moments_kernel(slots_ref, g_ref, out_ref, *, SC, TPS, H, W, TX):
+    """Fused v5-backward reduction: per tile, out[s,:] = sum over pixels
+    with slot==s of [g*x | g*y | g] — the payload rows are built IN-KERNEL
+    from the tile's pixel coordinates instead of materializing a
+    (B,H,W,3D) moment image on HBM.
+
+    slots_ref (1,TPS,P) int32; g_ref (1,TPS,D,P) f32 (pixels on lanes);
+    out (1,TPS,C,3D) with the attr_planes [PA|PB|PC] cotangent layout.
+    """
+    C = out_ref.shape[2]
+    P = slots_ref.shape[2]
+    g_id = pl.program_id(1)
+    prow = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // TILE_COLS
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
+    for j in range(TPS):
+        t = g_id * TPS + j
+        ty = t // TX
+        tx = t % TX
+        xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
+        ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32) + 1.0 - H) / H
+        slot_row = slots_ref[0, pl.ds(j, 1), :]  # (1,P)
+        gg = g_ref[0, j]  # (D,P)
+        rows = jnp.concatenate([gg * xs, gg * ys, gg], axis=0)  # (3D,P)
+        for k in range(C // SC):
+            base = k * SC
+            ids = jax.lax.broadcasted_iota(jnp.int32, (SC, P), 0) + base
+            onehot = (ids == slot_row).astype(jnp.float32)
+            part = jax.lax.dot_general(
+                onehot, rows, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (SC,3D)
+            out_ref[0, j, base:base + SC, :] = part
+
+
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "image_size", "interpret")
+)
+def segment_reduce_moments(
+    slots_tiles: jnp.ndarray,  # (B,Tp,P) int32, -1 = background
+    g_tiles: jnp.ndarray,  # (B,Tp,P,D) f32 value cotangents
+    capacity: int,
+    image_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> (B,Tp,C,3D): per-(tile,slot) sums of [g*x | g*y | g]."""
+    B, Tp, P, D = g_tiles.shape
+    H = W = image_size
+    tx_tiles = -(-W // TILE_COLS)
+    SC = next(s for s in (128, 64, 32, 16, 8, 4, 2, 1) if capacity % s == 0)
+    g_t = jnp.swapaxes(g_tiles, 2, 3)  # (B,Tp,D,P)
+    per_tile = (capacity * 128 + 16 * P + P) * 4 * 2
+    tps = int(max(8, min((10 * 1024 * 1024 // per_tile) // 8 * 8, 24)))
+    Tq = -(-Tp // tps) * tps
+    if Tq != Tp:
+        slots_tiles = jnp.concatenate(
+            [slots_tiles, jnp.full((B, Tq - Tp, P), -1, jnp.int32)], axis=1
+        )
+        g_t = jnp.concatenate(
+            [g_t, jnp.zeros((B, Tq - Tp, D, P), g_t.dtype)], axis=1
+        )
+    out = pl.pallas_call(
+        functools.partial(
+            _segment_moments_kernel, SC=SC, TPS=tps, H=H, W=W, TX=tx_tiles
+        ),
+        grid=(B, Tq // tps),
+        in_specs=[
+            pl.BlockSpec((1, tps, P), lambda b, g: (b, g, 0)),
+            pl.BlockSpec((1, tps, D, P), lambda b, g: (b, g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tps, capacity, 3 * D), lambda b, g: (b, g, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tq, capacity, 3 * D), jnp.float32),
+        interpret=interpret,
+    )(slots_tiles, g_t)
+    return out[:, :Tp]
+
+
 def _pixelwise_interp(fv_px, attr_px, mask, image_size):
     """Pure elementwise interpolation given per-pixel gathered residuals."""
     xs, ys = _pixel_centers(image_size, fv_px.dtype)
@@ -1435,15 +1513,14 @@ def _rpd_bwd(image_size, capacity, interpret, res, cts):
     F = face_verts.shape[1]
 
     # cotangent of an affine plane = its first moments over covered pixels:
-    # dL/dPA_d = sum x*g_d, dL/dPB_d = sum y*g_d, dL/dPC_d = sum g_d
-    xs, ys = _pixel_centers(image_size, g_vals.dtype)
-    payload = jnp.concatenate(
-        [g_vals * xs[None, ..., None], g_vals * ys[None, ..., None], g_vals],
-        axis=-1,
-    )  # (B,H,W,3D), layout matches attr_planes [PA|PB|PC]
-    gpx_t = image_to_tiles(payload, image_size)
+    # dL/dPA_d = sum x*g_d, dL/dPB_d = sum y*g_d, dL/dPC_d = sum g_d.
+    # The moments [g*x | g*y | g] are built inside the reduction kernel from
+    # tile-local pixel coordinates (no (B,H,W,3D) moment image on HBM).
+    g_t = image_to_tiles(g_vals, image_size)
     slots_t = image_to_tiles(p2slot, image_size)
-    per_slot = segment_reduce_tiles(slots_t, gpx_t, capacity, interpret)
+    per_slot = segment_reduce_moments(
+        slots_t, g_t, capacity, image_size, interpret
+    )
 
     plane_ct = fold_slots_to_faces(per_slot, bins, F)
     _, vjp = jax.vjp(attr_planes, face_verts, attributes)
