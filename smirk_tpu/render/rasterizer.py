@@ -127,8 +127,24 @@ def rasterize_coverage_jnp(
 # --------------------------------------------------------------------------
 
 
+# Backface culling at the binning stage. None = off: both windings
+# rasterize, matching pytorch3d's cull_backfaces=False default (the
+# reference renderer, src/renderer/renderer.py, never enables culling).
+# +1/-1 = keep only faces whose screen-space signed area has that sign.
+# For FLAME's closed head mesh back faces are occluded by construction, so
+# culling only removes z-buffer losers — but it halves the binned
+# face-tile pairs the VPU kernels edge-test (the measured compute bound).
+_CULL_SIGN: Optional[int] = None
+
+
+def set_backface_cull(sign: Optional[int]) -> None:
+    global _CULL_SIGN
+    assert sign in (None, 1, -1)
+    _CULL_SIGN = sign
+
+
 def _bbox_and_priority(face_verts: jnp.ndarray, image_size: int):
-    """Pixel-space bboxes + near-to-far unique priority per face.
+    """Pixel-space bboxes + near-to-far unique priority per face + keep mask.
 
     Depth priority uses quantized z buckets + face id as tiebreak (exact
     argsort ranks cost ~3ms/batch64 in XLA sorts); the id tiebreak keeps the
@@ -138,6 +154,17 @@ def _bbox_and_priority(face_verts: jnp.ndarray, image_size: int):
     F = face_verts.shape[1]
     x = face_verts[..., 0]
     y = face_verts[..., 1]
+    if _CULL_SIGN is not None:
+        # 2x signed NDC area; pixel mapping scales positively so the sign
+        # equals the screen-space winding
+        area2 = (
+            x[..., 0] * (y[..., 1] - y[..., 2])
+            + x[..., 1] * (y[..., 2] - y[..., 0])
+            + x[..., 2] * (y[..., 0] - y[..., 1])
+        )
+        keep = (area2 * _CULL_SIGN) > 0  # (B,F)
+    else:
+        keep = None
     # NDC -> continuous pixel coords (pixel r center at r + 0.5)
     px = (x * W + W - 1.0) / 2.0
     py = (y * H + H - 1.0) / 2.0
@@ -151,7 +178,7 @@ def _bbox_and_priority(face_verts: jnp.ndarray, image_size: int):
         ((zmean - zlo) / jnp.maximum(zhi - zlo, 1e-12) * NB), 0, NB
     ).astype(jnp.int32)  # (B,F), 0 = closest
     prio = zbucket * F + jnp.arange(F, dtype=jnp.int32)[None]  # unique
-    return xmin, xmax, ymin, ymax, prio, (NB + 2) * F
+    return xmin, xmax, ymin, ymax, prio, (NB + 2) * F, keep
 
 
 def _pad_bins(bins, counts, capacity, k, T):
@@ -188,7 +215,7 @@ def bin_faces_flat(
     ty = -(-H // TILE_ROWS)
     tx = -(-W // TILE_COLS)
     T = ty * tx
-    xmin, xmax, ymin, ymax, prio, prio_span = _bbox_and_priority(
+    xmin, xmax, ymin, ymax, prio, prio_span, keep = _bbox_and_priority(
         face_verts, image_size
     )
 
@@ -202,6 +229,8 @@ def bin_faces_flat(
         xmin[:, None, :] <= tile_c0[None, :, None] + TILE_COLS - 1
     )  # (B,tx,F)
     overlap = ov_r[:, :, None, :] & ov_c[:, None, :, :]  # (B,ty,tx,F)
+    if keep is not None:
+        overlap = overlap & keep[:, None, None, :]
     overlap = overlap.reshape(B, T, F)
 
     # compact each tile's overlapping face ids to the first `capacity` slots.
@@ -250,7 +279,7 @@ def bin_faces_hier(
     tx = -(-W // TILE_COLS)
     T = ty * tx
     nb = -(-ty // band_tiles)
-    xmin, xmax, ymin, ymax, prio, prio_span = _bbox_and_priority(
+    xmin, xmax, ymin, ymax, prio, prio_span, keep = _bbox_and_priority(
         face_verts, image_size
     )
 
@@ -260,6 +289,8 @@ def bin_faces_hier(
     ov_band = (ymax[:, None, :] >= band_r0[None, :, None]) & (
         ymin[:, None, :] <= band_r0[None, :, None] + band_rows - 1
     )  # (B,nb,F)
+    if keep is not None:
+        ov_band = ov_band & keep[:, None, :]
     C1 = min(coarse_capacity, F)
     key_c = ov_band.astype(jnp.int32) * prio_span - prio[:, None, :]
     vals_c, cand = jax.lax.top_k(key_c, C1)  # (B,nb,C1) depth-sorted
@@ -922,8 +953,178 @@ def _raster_kernel_v4(counts_ref, recs_ref, face_out, z_out,
         nz_out[0, j, :] = jnp.where(covered, bnz, 0.0)[0]
 
 
+# RECF record lane layout groups for the tile-local rebasing: lanes holding
+# x-coefficients (a), y-coefficients (b), and constants (c) of the affine
+# forms [3 edges | zplane | 9 normal-plane components].
+_RECF_A = (0, 3, 6, 9, 16, 17, 18)
+_RECF_B = (1, 4, 7, 10, 19, 20, 21)
+_RECF_C = (2, 5, 8, 11, 22, 23, 24)
+
+
+def _tilelocal_adjust(recs, tids, image_size, tx_tiles):
+    """Rebase gathered records into tile-local pixel coordinates.
+
+    Every affine form e(x,y) = a*x + b*y + c becomes a*xl + b*yl + c' with
+    c' = c + a*dx_t + b*dy_t, where (dx_t, dy_t) is tile t's NDC origin
+    offset. The kernel then evaluates all tiles with the SAME local
+    xs/ys iota — no per-tile coordinate math — which makes the kernel
+    invariant to tile order and enables count-sorted scheduling.
+
+    recs: (B,Tp,C,RECF_LANES); tids: (B,Tp) original tile indices.
+    """
+    H = W = image_size
+    tyv = (tids // tx_tiles).astype(recs.dtype)
+    txv = (tids % tx_tiles).astype(recs.dtype)
+    dx = 2.0 * txv * TILE_COLS / W  # (B,Tp)
+    dy = 2.0 * tyv * TILE_ROWS / H
+    a = recs[..., _RECF_A]
+    b = recs[..., _RECF_B]
+    adj = a * dx[:, :, None, None] + b * dy[:, :, None, None]
+    return recs.at[..., _RECF_C].add(adj)
+
+
+def _raster_kernel_v6tl(counts_ref, recs_ref, face_out, z_out,
+                        nx_out, ny_out, nz_out, *, H, W, TPS):
+    """v6 merged loop over tile-LOCAL records: xs/ys are the same iota for
+    every tile (offsets baked into the record constants), so the kernel is
+    tile-order-invariant and works with count-sorted tile scheduling."""
+    P = TILE_ROWS * TILE_COLS
+    CH = V3_CHUNK
+
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (TPS, 1, P), 2)
+    prow = pidx // TILE_COLS
+    pcol = pidx % TILE_COLS
+    xs = (2.0 * pcol.astype(jnp.float32) + 1.0 - W) / W
+    ys = (2.0 * prow.astype(jnp.float32) + 1.0 - H) / H
+    slot = jax.lax.broadcasted_iota(jnp.int32, (TPS, CH, P), 1)
+
+    nmax = counts_ref[0, 0]
+    for j in range(1, TPS):
+        nmax = jnp.maximum(nmax, counts_ref[j, 0])
+
+    def chunk_body(k, carry):
+        bz, bfid, bnx, bny, bnz = carry  # (TPS,1,P)
+        off = pl.multiple_of(k * CH, CH)
+        rec = recs_ref[0, :, pl.ds(off, CH), :]  # (TPS,CH,32)
+        e0 = rec[:, :, 0:1] * xs + rec[:, :, 1:2] * ys + rec[:, :, 2:3]
+        e1 = rec[:, :, 3:4] * xs + rec[:, :, 4:5] * ys + rec[:, :, 5:6]
+        e2 = rec[:, :, 6:7] * xs + rec[:, :, 7:8] * ys + rec[:, :, 8:9]
+        z = rec[:, :, 9:10] * xs + rec[:, :, 10:11] * ys + rec[:, :, 11:12]
+        fid = rec[:, :, 12:13]
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
+        zm = jnp.where(inside, z, BIG_Z)
+        cz = jnp.min(zm, axis=1, keepdims=True)
+        cand = jnp.where(zm == cz, slot, CH)
+        best = jnp.min(cand, axis=1, keepdims=True)
+        oh = (slot == best).astype(jnp.float32)
+        nx = rec[:, :, 16:17] * xs + rec[:, :, 19:20] * ys + rec[:, :, 22:23]
+        ny = rec[:, :, 17:18] * xs + rec[:, :, 20:21] * ys + rec[:, :, 23:24]
+        nz = rec[:, :, 18:19] * xs + rec[:, :, 21:22] * ys + rec[:, :, 24:25]
+        cfid = jnp.sum(oh * fid, axis=1, keepdims=True)
+        cnx = jnp.sum(oh * nx, axis=1, keepdims=True)
+        cny = jnp.sum(oh * ny, axis=1, keepdims=True)
+        cnz = jnp.sum(oh * nz, axis=1, keepdims=True)
+        better = cz < bz
+        sel = lambda a, b: jnp.where(better, a, b)
+        return (sel(cz, bz), sel(cfid, bfid), sel(cnx, bnx),
+                sel(cny, bny), sel(cnz, bnz))
+
+    n_chunks = (nmax + CH - 1) // CH
+    zero = jnp.zeros((TPS, 1, P))
+    bz, bfid, bnx, bny, bnz = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        (jnp.full((TPS, 1, P), BIG_Z), jnp.full((TPS, 1, P), -1.0),
+         zero, zero, zero),
+    )
+    covered = bz < BIG_Z
+    face_out[0, :, :] = jnp.where(covered, bfid, -1.0)[:, 0, :].astype(
+        jnp.int32
+    )
+    z_out[0, :, :] = jnp.where(covered, bz, BIG_Z)[:, 0, :]
+    nx_out[0, :, :] = jnp.where(covered, bnx, 0.0)[:, 0, :]
+    ny_out[0, :, :] = jnp.where(covered, bny, 0.0)[:, 0, :]
+    nz_out[0, :, :] = jnp.where(covered, bnz, 0.0)[:, 0, :]
+
+
+def _raster_kernel_v6(counts_ref, recs_ref, face_out, z_out,
+                      nx_out, ny_out, nz_out, *, H, W, TX, TPS):
+    """v4 with ONE fori_loop per grid step, vectorized across all TPS tiles.
+
+    v4 unrolls TPS per-tile fori_loops per step (3584 scalar-core loop
+    setups for batch64@224px) while the underlying VPU math is only ~3ms;
+    here each chunk iteration processes a (TPS, CH, P) block. The loop runs
+    to the *max* chunk count across the step's tiles; tiles already past
+    their own count just process kill records (inside=false by
+    construction), so no per-tile masking is needed.
+    """
+    g = pl.program_id(1)
+    P = TILE_ROWS * TILE_COLS
+    CH = V3_CHUNK
+
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (TPS, 1, P), 2)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (TPS, 1, P), 0)
+    t = g * TPS + jidx
+    tyi = t // TX
+    txi = t % TX
+    prow = pidx // TILE_COLS
+    pcol = pidx % TILE_COLS
+    xs = (2.0 * (pcol + txi * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
+    ys = (2.0 * (prow + tyi * TILE_ROWS).astype(jnp.float32) + 1.0 - H) / H
+    slot = jax.lax.broadcasted_iota(jnp.int32, (TPS, CH, P), 1)
+
+    nmax = counts_ref[0, 0]
+    for j in range(1, TPS):
+        nmax = jnp.maximum(nmax, counts_ref[j, 0])
+
+    def chunk_body(k, carry):
+        bz, bfid, bnx, bny, bnz = carry  # (TPS,1,P)
+        off = pl.multiple_of(k * CH, CH)
+        rec = recs_ref[0, :, pl.ds(off, CH), :]  # (TPS,CH,32)
+        e0 = rec[:, :, 0:1] * xs + rec[:, :, 1:2] * ys + rec[:, :, 2:3]
+        e1 = rec[:, :, 3:4] * xs + rec[:, :, 4:5] * ys + rec[:, :, 5:6]
+        e2 = rec[:, :, 6:7] * xs + rec[:, :, 7:8] * ys + rec[:, :, 8:9]
+        z = rec[:, :, 9:10] * xs + rec[:, :, 10:11] * ys + rec[:, :, 11:12]
+        fid = rec[:, :, 12:13]
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
+        zm = jnp.where(inside, z, BIG_Z)  # (TPS,CH,P)
+        cz = jnp.min(zm, axis=1, keepdims=True)  # (TPS,1,P)
+        cand = jnp.where(zm == cz, slot, CH)
+        best = jnp.min(cand, axis=1, keepdims=True)
+        oh = (slot == best).astype(jnp.float32)
+        nx = rec[:, :, 16:17] * xs + rec[:, :, 19:20] * ys + rec[:, :, 22:23]
+        ny = rec[:, :, 17:18] * xs + rec[:, :, 20:21] * ys + rec[:, :, 23:24]
+        nz = rec[:, :, 18:19] * xs + rec[:, :, 21:22] * ys + rec[:, :, 24:25]
+        cfid = jnp.sum(oh * fid, axis=1, keepdims=True)
+        cnx = jnp.sum(oh * nx, axis=1, keepdims=True)
+        cny = jnp.sum(oh * ny, axis=1, keepdims=True)
+        cnz = jnp.sum(oh * nz, axis=1, keepdims=True)
+        better = cz < bz  # earlier chunk wins ties (sequential order)
+        sel = lambda a, b: jnp.where(better, a, b)
+        return (sel(cz, bz), sel(cfid, bfid), sel(cnx, bnx),
+                sel(cny, bny), sel(cnz, bnz))
+
+    n_chunks = (nmax + CH - 1) // CH
+    zero = jnp.zeros((TPS, 1, P))
+    bz, bfid, bnx, bny, bnz = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        (jnp.full((TPS, 1, P), BIG_Z), jnp.full((TPS, 1, P), -1.0),
+         zero, zero, zero),
+    )
+    covered = bz < BIG_Z
+    face_out[0, :, :] = jnp.where(covered, bfid, -1.0)[:, 0, :].astype(
+        jnp.int32
+    )
+    z_out[0, :, :] = jnp.where(covered, bz, BIG_Z)[:, 0, :]
+    nx_out[0, :, :] = jnp.where(covered, bnx, 0.0)[:, 0, :]
+    ny_out[0, :, :] = jnp.where(covered, bny, 0.0)[:, 0, :]
+    nz_out[0, :, :] = jnp.where(covered, bnz, 0.0)[:, 0, :]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("image_size", "capacity", "interpret")
+    jax.jit,
+    static_argnames=(
+        "image_size", "capacity", "interpret", "merged", "tps", "sort_tiles"
+    ),
 )
 def rasterize_normals_fused(
     face_verts: jnp.ndarray,
@@ -931,6 +1132,9 @@ def rasterize_normals_fused(
     image_size: int,
     capacity: int = 640,
     interpret: bool = False,
+    merged: bool = False,
+    tps: Optional[int] = None,
+    sort_tiles: bool = False,
 ):
     """Fused inference raster: -> (normal image (B,H,W,3), pix_to_face,
     zbuf). Non-differentiable (inference/visualization path; training uses
@@ -944,9 +1148,23 @@ def rasterize_normals_fused(
     T = ty * tx
 
     bins, counts = bin_faces(face_verts, image_size, capacity)
-    tps = _pick_tps(bins.shape[1], capacity)
+    if tps is None:
+        tps = _pick_tps(bins.shape[1], capacity)
     bins, counts = _pad_tiles_to(bins, counts, tps)
     Tp = bins.shape[1]
+    inv_order = None
+    if sort_tiles:
+        # schedule tiles by descending bin count so each TPS-tile grid step
+        # is count-homogeneous: the merged loop's bound is the step max, so
+        # sorting removes its grouping inflation. Requires tile-local
+        # records (the kernel no longer knows a tile's position).
+        order = jnp.argsort(-counts, axis=1)  # (B,Tp)
+        inv_order = jnp.argsort(order, axis=1)
+        bins = jnp.take_along_axis(bins, order[..., None], axis=1)
+        counts = jnp.take_along_axis(counts, order, axis=1)
+        tids = order
+    else:
+        tids = jnp.broadcast_to(jnp.arange(Tp, dtype=jnp.int32)[None], (B, Tp))
     records = face_records_shaded(face_verts, face_normals)
     records = records.at[..., 12].set(
         jnp.arange(F, dtype=face_verts.dtype)[None]
@@ -956,10 +1174,18 @@ def rasterize_normals_fused(
     ).reshape(B, Tp, capacity, RECF_LANES)
     kill = jnp.zeros((RECF_LANES,)).at[2].set(-1.0).at[12].set(-1.0)
     recs = jnp.where((bins < 0)[..., None], kill, recs)
+    if sort_tiles:
+        recs = _tilelocal_adjust(recs, tids, image_size, tx)
 
     P = TILE_ROWS * TILE_COLS
+    if sort_tiles:
+        kernel = functools.partial(_raster_kernel_v6tl, H=H, W=W, TPS=tps)
+    elif merged:
+        kernel = functools.partial(_raster_kernel_v6, H=H, W=W, TX=tx, TPS=tps)
+    else:
+        kernel = functools.partial(_raster_kernel_v4, H=H, W=W, TX=tx, TPS=tps)
     outs = pl.pallas_call(
-        functools.partial(_raster_kernel_v4, H=H, W=W, TX=tx, TPS=tps),
+        kernel,
         grid=(B, Tp // tps),
         in_specs=[
             pl.BlockSpec(
@@ -974,6 +1200,11 @@ def rasterize_normals_fused(
         + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * 4,
         interpret=interpret,
     )(counts.reshape(B * Tp, 1), recs)
+
+    if inv_order is not None:
+        outs = [
+            jnp.take_along_axis(o, inv_order[..., None], axis=1) for o in outs
+        ]
 
     def to_image(x):
         x = x[:, :T].reshape(B, ty, tx, TILE_ROWS, TILE_COLS)

@@ -104,12 +104,107 @@ def export_inference(
     return path
 
 
-def load_inference(path: str) -> Callable[[np.ndarray], Dict[str, np.ndarray]]:
-    """Deserialize an exported artifact into a callable (no model code)."""
+def export_inference_sharded(
+    system,
+    encoder_vars,
+    path: str,
+    batch_size: int = 64,
+    n_devices: int = 8,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Mesh-aware export: the batch is sharded over a 1-D `data` mesh of
+    `n_devices`, weights replicated, so one artifact serves batches larger
+    than the per-chip limit (ROADMAP "multi-chip serving"). The artifact
+    records the device count; `load_inference` rebuilds the mesh from the
+    serving host's local devices and shards the input automatically.
+
+    XLA inserts no collectives here (inference is batch-parallel end to
+    end), so the lowered module is the single-chip program replicated —
+    scaling is linear over ICI-attached chips.
+    """
+    import jax
+    import jax.numpy as jnp
     from jax import export as jax_export
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from smirk_tpu.render import rasterizer as raster_lib
+
+    devs = jax.devices()
+    if len(devs) < n_devices:
+        raise ValueError(
+            f"export needs {n_devices} devices visible, have {len(devs)} "
+            "(on a CPU host set --xla_force_host_platform_device_count)"
+        )
+    if batch_size % n_devices:
+        raise ValueError("batch_size must divide evenly across devices")
+    mesh = Mesh(np.asarray(devs[:n_devices]), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+
+    size = system.config.image_size
+    fn = make_inference_fn(system, encoder_vars)
+    spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.float32)
+    force_compiled = bool(platforms) and any(
+        p not in ("cpu",) for p in platforms
+    )
+    if force_compiled:
+        raster_lib.set_interpret_override(False)
+    try:
+        exp = jax_export.export(
+            jax.jit(fn, in_shardings=shard, out_shardings=shard),
+            platforms=tuple(platforms) if platforms else None,
+        )(spec)
+    finally:
+        if force_compiled:
+            raster_lib.set_interpret_override(None)
+    blob = exp.serialize()
+
+    if not path.endswith(ARTIFACT_SUFFIX):
+        path = path + ARTIFACT_SUFFIX
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(bytes(blob))
+    meta = {
+        "input": {"shape": [batch_size, size, size, 3], "dtype": "float32",
+                  "layout": "NHWC", "range": "[0, 1] RGB"},
+        "outputs": list(OUTPUT_KEYS),
+        "platforms": list(exp.platforms),
+        "nr_devices": exp.nr_devices,
+        "mesh": {"axes": ["data"], "shape": [n_devices]},
+        "bytes": len(blob),
+    }
+    with open(path + META_SUFFIX, "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def load_inference(path: str) -> Callable[[np.ndarray], Dict[str, np.ndarray]]:
+    """Deserialize an exported artifact into a callable (no model code).
+
+    Single-device artifacts call directly; sharded artifacts rebuild a 1-D
+    mesh from the first `nr_devices` local devices and shard the input
+    batch before calling.
+    """
+    import jax
+    from jax import export as jax_export
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     if not path.endswith(ARTIFACT_SUFFIX):
         path = path + ARTIFACT_SUFFIX
     with open(path, "rb") as f:
         exp = jax_export.deserialize(bytearray(f.read()))
-    return exp.call
+    if exp.nr_devices == 1:
+        return exp.call
+
+    devs = jax.devices()
+    if len(devs) < exp.nr_devices:
+        raise ValueError(
+            f"artifact was exported for {exp.nr_devices} devices; "
+            f"host has {len(devs)}"
+        )
+    mesh = Mesh(np.asarray(devs[: exp.nr_devices]), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+
+    def call(img):
+        return exp.call(jax.device_put(img, shard))
+
+    return call

@@ -235,6 +235,50 @@ def test_fused_normals_matches_separate_path():
     )
 
 
+def test_fused_merged_loop_matches_v4():
+    """v6 (one fori_loop per grid step over (TPS,CH,P)) is bit-identical to
+    the per-tile-loop v4 kernel, at the default and a fatter TPS."""
+    rng = np.random.default_rng(11)
+    fv = random_mesh(rng, F=50, B=2)
+    fn = jnp.asarray(rng.normal(0, 1, (2, 50, 3, 3)).astype(np.float32))
+    img4, p2f4, zb4 = R.rasterize_normals_fused(fv, fn, 32, capacity=64,
+                                                interpret=True)
+    for tps in (None, 16):
+        img6, p2f6, zb6 = R.rasterize_normals_fused(
+            fv, fn, 32, capacity=64, interpret=True, merged=True, tps=tps)
+        np.testing.assert_array_equal(np.asarray(p2f4), np.asarray(p2f6))
+        np.testing.assert_array_equal(np.asarray(img4), np.asarray(img6))
+        np.testing.assert_array_equal(np.asarray(zb4), np.asarray(zb6))
+
+
+def test_backface_cull_drops_one_winding():
+    """With culling on, only faces of the kept winding rasterize; the other
+    winding's pixels become background (or a kept face behind them)."""
+    # two overlapping triangles with opposite windings
+    tri_ccw = [[-0.8, -0.8, 0.5], [0.8, -0.8, 0.5], [0.0, 0.8, 0.5]]
+    tri_cw = [[-0.6, -0.6, 0.2], [0.0, 0.6, 0.2], [0.6, -0.6, 0.2]]
+    fv = make_face_verts([tri_ccw, tri_cw])
+    p2f_all, _ = R.rasterize_coverage_pallas_v3(fv, 16, capacity=32,
+                                                interpret=True)
+    present = set(np.unique(np.asarray(p2f_all))) - {-1}
+    assert present == {0, 1}
+    x, y = np.asarray(fv[..., 0])[0], np.asarray(fv[..., 1])[0]
+    a2 = (x[:, 0] * (y[:, 1] - y[:, 2]) + x[:, 1] * (y[:, 2] - y[:, 0])
+          + x[:, 2] * (y[:, 0] - y[:, 1]))
+    for sign in (1, -1):
+        R.rasterize_coverage_pallas_v3.clear_cache()
+        R.set_backface_cull(sign)
+        try:
+            p2f, _ = R.rasterize_coverage_pallas_v3(fv, 16, capacity=32,
+                                                    interpret=True)
+        finally:
+            R.set_backface_cull(None)
+            R.rasterize_coverage_pallas_v3.clear_cache()
+        kept = set(np.unique(np.asarray(p2f))) - {-1}
+        expect = {i for i in (0, 1) if a2[i] * sign > 0}
+        assert kept == expect, (sign, kept, expect)
+
+
 def test_renderer_inference_matches_differentiable():
     """Renderer.render vs render_inference (fused kernel) on the real face."""
     from smirk_tpu import assets

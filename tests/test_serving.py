@@ -45,6 +45,34 @@ def test_export_roundtrip_matches_direct(tiny_system, tmp_path):
                                    atol=1e-5, err_msg=k)
 
 
+def test_export_sharded_roundtrip(tiny_system, tmp_path):
+    """Mesh-aware artifact: batch sharded over the 8-device mesh, output
+    matches the unsharded forward."""
+    system, state = tiny_system
+    path = serving.export_inference_sharded(
+        system, state.encoder, str(tmp_path / "art8"), batch_size=8,
+        n_devices=8)
+    meta = json.load(open(path + ".json"))
+    assert meta["nr_devices"] == 8
+    assert meta["mesh"] == {"axes": ["data"], "shape": [8]}
+
+    serve = serving.load_inference(path)
+    img = np.random.default_rng(1).random((8, 64, 64, 3)).astype(np.float32)
+    out = serve(img)
+    direct = serving.make_inference_fn(system, state.encoder)(img)
+    for k in out:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(direct[k]),
+                                   atol=1e-5, err_msg=k)
+
+
+def test_export_sharded_rejects_uneven_batch(tiny_system, tmp_path):
+    system, state = tiny_system
+    with pytest.raises(ValueError, match="divide"):
+        serving.export_inference_sharded(
+            system, state.encoder, str(tmp_path / "bad"), batch_size=9,
+            n_devices=8)
+
+
 def test_export_tpu_cross_lowering_contains_mosaic(tmp_path):
     """A TPU artifact exported from this CPU host must embed the real Pallas
     kernels (tpu_custom_call), not the interpret-mode lax graph."""

@@ -20,6 +20,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--platform", default=None,
                    help="lowering target (e.g. tpu); default: current backend")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the batch over a 1-D data mesh of N devices "
+                        "(multi-chip serving artifact)")
     args = p.parse_args(argv)
 
     from smirk_tpu import serving
@@ -34,10 +37,17 @@ def main(argv=None):
     target = args.platform or jax.default_backend()
     system, state = build_system(args.checkpoint, use_generator=False,
                                  use_pallas=target not in ("cpu",))
-    path = serving.export_inference(
-        system, state.encoder, args.out, batch_size=args.batch,
-        platforms=[args.platform] if args.platform else None,
-    )
+    platforms = [args.platform] if args.platform else None
+    if args.devices > 1:
+        path = serving.export_inference_sharded(
+            system, state.encoder, args.out, batch_size=args.batch,
+            n_devices=args.devices, platforms=platforms,
+        )
+    else:
+        path = serving.export_inference(
+            system, state.encoder, args.out, batch_size=args.batch,
+            platforms=platforms,
+        )
     print("wrote", path, "and", path + serving.META_SUFFIX)
 
 
