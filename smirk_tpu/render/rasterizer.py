@@ -556,6 +556,7 @@ def rasterize(
     image_size: int,
     capacity: int = 512,
     use_pallas: Optional[bool] = None,
+    compact: Optional[int] = None,
 ):
     """Full differentiable raster: coverage (stop-grad) + interpolation.
 
@@ -563,7 +564,8 @@ def rasterize(
     On the Pallas path the fused plane kernel evaluates coverage AND the
     interpolated attribute values in one pass (no per-pixel gathers); its
     custom-VJP backward reduces pixel-grad moments to faces with a tiled
-    one-hot matmul.
+    one-hot matmul. `compact` (chunk budget) switches the forward to the
+    compact-list kernel (see _raster_kernel_v7) — same outputs/gradients.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
@@ -571,7 +573,7 @@ def rasterize(
     if use_pallas and 13 + 3 * D <= REC5_LANES:
         interpret = default_interpret()
         return rasterize_planes_diff(
-            face_verts, attributes, image_size, capacity, interpret
+            face_verts, attributes, image_size, capacity, interpret, compact
         )
     if use_pallas:
         interpret = default_interpret()
@@ -629,6 +631,31 @@ def face_records(face_verts: jnp.ndarray) -> jnp.ndarray:
     # degenerate -> constant negative edge value (never inside)
     kill = jnp.zeros((REC_LANES,), face_verts.dtype).at[2].set(-1.0)
     return jnp.where(valid[..., None], rec, kill)
+
+
+def _gather_recs(records: jnp.ndarray, bins: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-slot records with the kill row folded into the index.
+
+    records (B,F,L) is extended with one kill row (edge c0 = -1, fid = -1)
+    at index F; empty slots (bins < 0) gather that row directly.
+
+    NOTE: measured -1.7ms/batch64 in ISOLATION (tools/tpu_gather_bisect.py
+    A3 vs A4, bitwise identical) but +5ms in the full fused program
+    (tools/tpu_compact_bench.py v4_full 24.15 -> 29.55) — the records
+    concat breaks XLA's fusion of the record build into the gather. Only
+    the COMPACT path uses this helper (its row count is small); the
+    capacity-padded production paths keep the clamp+where formulation.
+    """
+    B, F, L = records.shape
+    _, Tp, C = bins.shape
+    kill = jnp.zeros((L,), records.dtype).at[2].set(-1.0).at[12].set(-1.0)
+    ext = jnp.concatenate(
+        [records, jnp.broadcast_to(kill, (B, 1, L))], axis=1
+    )
+    idx = jnp.where(bins < 0, F, bins)
+    return jax.vmap(lambda r, b: r[b])(
+        ext, idx.reshape(B, -1)
+    ).reshape(B, Tp, C, L)
 
 
 V3_CHUNK = 32  # faces per inner step; bounds kernel VMEM stack (~16MB/core)
@@ -953,6 +980,128 @@ def _raster_kernel_v4(counts_ref, recs_ref, face_out, z_out,
         nz_out[0, j, :] = jnp.where(covered, bnz, 0.0)[0]
 
 
+def _compact_plan(counts: jnp.ndarray, cmax: int):
+    """Chunk windows + chunk->tile map for the compact raster, via
+    cumsum/searchsorted only — per-row XLA gathers are as expensive as the
+    record gather itself (tools/tpu_compact_bench.py: take_along_axis
+    index building cost ~20ms/batch64), so the slot extraction runs in a
+    Pallas kernel (_compact_faces_kernel) instead.
+
+    Returns (starts, ends, tof, meta): starts/ends (B,Tp) int32 chunk
+    windows clipped to cmax; tof (B,cmax) tile id per compact chunk;
+    meta (B*8,1) int32 with row 0 = total chunk count (SMEM-friendly)."""
+    B, Tp = counts.shape
+    CH = V3_CHUNK
+    cc = -(-counts // CH)
+    ends = jnp.cumsum(cc, axis=1)
+    starts = ends - cc
+    total = jnp.minimum(ends[:, -1:], cmax)
+    c_ids = jnp.arange(cmax, dtype=jnp.int32)
+    tof = jax.vmap(lambda e: jnp.searchsorted(e, c_ids, side="right"))(
+        ends
+    ).astype(jnp.int32)
+    tof = jnp.minimum(tof, Tp - 1)
+    meta = jnp.concatenate(
+        [total.astype(jnp.int32), jnp.zeros((B, 7), jnp.int32)], axis=1
+    )
+    return (
+        jnp.minimum(starts, cmax).astype(jnp.int32),
+        jnp.minimum(ends, cmax).astype(jnp.int32),
+        tof,
+        meta,
+    )
+
+
+def _compact_faces_kernel(meta_ref, tof_ref, starts_ref, bins_ref, out_ref,
+                          *, CPT):
+    """Copy each occupied chunk's 32 slot ids into the compact list.
+
+    grid (B,). bins_ref (1, Tp*CPT, CH) int32 — tile t's chunk k at row
+    t*CPT + k; out_ref (1, cmax, CH). ~150 dynamic row copies per image
+    replace the per-row XLA index gathers."""
+    out_ref[...] = jnp.full_like(out_ref, -1)
+
+    def body(c, carry):
+        t = tof_ref[c, 0]
+        k = c - starts_ref[t, 0]
+        src = t * CPT + k
+        out_ref[0, pl.ds(c, 1), :] = bins_ref[0, pl.ds(src, 1), :]
+        return carry
+
+    jax.lax.fori_loop(0, meta_ref[0, 0], body, 0)
+
+
+def _raster_kernel_v7(starts_ref, ends_ref, recs_ref, face_out, z_out,
+                      nx_out, ny_out, nz_out, *, H, W, TX, T):
+    """v4 z-buffer math over the COMPACT per-image record list.
+
+    grid (B,): ONE step per image, so the compact records block is DMA'd
+    exactly once (a g-invariant BlockSpec on a (B, g) grid was measured to
+    re-fetch every step, +6ms/64 chunks; manual make_async_copy from an
+    ANY-space ref fails this toolchain's Mosaic compile —
+    tools/tpu_compact_bench.py + /tmp isolation probes). Tiles iterate in
+    a dynamic fori_loop (no TPS unroll -> no compile blowup); each tile
+    runs its own dynamic chunk window [starts, ends). Output and
+    tie-break semantics identical to _raster_kernel_v4."""
+    P = TILE_ROWS * TILE_COLS
+    CH = V3_CHUNK
+
+    prow = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // TILE_COLS
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
+    slot = jax.lax.broadcasted_iota(jnp.int32, (CH, P), 0)
+
+    def tile_body(j, carry0):
+        ty = j // TX
+        tx = j % TX
+        xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
+        ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32) + 1.0 - H) / H
+
+        def chunk_body(c, carry):
+            bz, bfid, bnx, bny, bnz = carry
+            off = pl.multiple_of(c * CH, CH)
+            rec = recs_ref[0, pl.ds(off, CH), :]  # (CH,32)
+            e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
+            e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
+            e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
+            z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
+            fid = rec[:, 12:13]
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
+            zm = jnp.where(inside, z, BIG_Z)
+            cz = jnp.min(zm, axis=0, keepdims=True)
+            cand = jnp.where(zm == cz, slot, CH)
+            best = jnp.min(cand, axis=0, keepdims=True)
+            oh = (slot == best).astype(jnp.float32)
+            nx = rec[:, 16:17] * xs + rec[:, 19:20] * ys + rec[:, 22:23]
+            ny = rec[:, 17:18] * xs + rec[:, 20:21] * ys + rec[:, 23:24]
+            nz = rec[:, 18:19] * xs + rec[:, 21:22] * ys + rec[:, 24:25]
+            cfid = jnp.sum(oh * fid, axis=0, keepdims=True)
+            cnx = jnp.sum(oh * nx, axis=0, keepdims=True)
+            cny = jnp.sum(oh * ny, axis=0, keepdims=True)
+            cnz = jnp.sum(oh * nz, axis=0, keepdims=True)
+            better = cz < bz  # earlier chunk wins ties (slot order kept)
+            sel = lambda a, b: jnp.where(better, a, b)
+            return (sel(cz, bz), sel(cfid, bfid), sel(cnx, bnx),
+                    sel(cny, bny), sel(cnz, bnz))
+
+        zero = jnp.zeros((1, P))
+        bz, bfid, bnx, bny, bnz = jax.lax.fori_loop(
+            starts_ref[j, 0], ends_ref[j, 0], chunk_body,
+            (jnp.full((1, P), BIG_Z), jnp.full((1, P), -1.0),
+             zero, zero, zero),
+        )
+        covered = bz < BIG_Z
+        face_out[0, pl.ds(j, 1), :] = jnp.where(covered, bfid, -1.0).astype(
+            jnp.int32
+        )
+        z_out[0, pl.ds(j, 1), :] = jnp.where(covered, bz, BIG_Z)
+        nx_out[0, pl.ds(j, 1), :] = jnp.where(covered, bnx, 0.0)
+        ny_out[0, pl.ds(j, 1), :] = jnp.where(covered, bny, 0.0)
+        nz_out[0, pl.ds(j, 1), :] = jnp.where(covered, bnz, 0.0)
+        return carry0
+
+    jax.lax.fori_loop(0, T, tile_body, 0)
+
+
 # RECF record lane layout groups for the tile-local rebasing: lanes holding
 # x-coefficients (a), y-coefficients (b), and constants (c) of the affine
 # forms [3 edges | zplane | 9 normal-plane components].
@@ -1123,7 +1272,8 @@ def _raster_kernel_v6(counts_ref, recs_ref, face_out, z_out,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "image_size", "capacity", "interpret", "merged", "tps", "sort_tiles"
+        "image_size", "capacity", "interpret", "merged", "tps", "sort_tiles",
+        "compact",
     ),
 )
 def rasterize_normals_fused(
@@ -1135,6 +1285,7 @@ def rasterize_normals_fused(
     merged: bool = False,
     tps: Optional[int] = None,
     sort_tiles: bool = False,
+    compact: Optional[int] = None,
 ):
     """Fused inference raster: -> (normal image (B,H,W,3), pix_to_face,
     zbuf). Non-differentiable (inference/visualization path; training uses
@@ -1169,37 +1320,86 @@ def rasterize_normals_fused(
     records = records.at[..., 12].set(
         jnp.arange(F, dtype=face_verts.dtype)[None]
     )
-    recs = jax.vmap(lambda r, b: r[jnp.maximum(b, 0)])(
-        records, bins.reshape(B, -1)
-    ).reshape(B, Tp, capacity, RECF_LANES)
-    kill = jnp.zeros((RECF_LANES,)).at[2].set(-1.0).at[12].set(-1.0)
-    recs = jnp.where((bins < 0)[..., None], kill, recs)
-    if sort_tiles:
-        recs = _tilelocal_adjust(recs, tids, image_size, tx)
-
     P = TILE_ROWS * TILE_COLS
-    if sort_tiles:
-        kernel = functools.partial(_raster_kernel_v6tl, H=H, W=W, TPS=tps)
-    elif merged:
-        kernel = functools.partial(_raster_kernel_v6, H=H, W=W, TX=tx, TPS=tps)
+    if compact is not None:
+        CH = V3_CHUNK
+        CPT = capacity // CH
+        compact = -(-compact // 8) * 8  # SMEM rows are 8-aligned
+        starts, ends, tof, meta = _compact_plan(counts, compact)
+        faces = pl.pallas_call(
+            functools.partial(_compact_faces_kernel, CPT=CPT),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((8, 1), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((compact, 1), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, Tp * CPT, CH), lambda b: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, compact, CH), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, compact, CH), jnp.int32),
+            interpret=interpret,
+        )(
+            meta.reshape(B * 8, 1),
+            tof.reshape(B * compact, 1),
+            starts.reshape(B * Tp, 1),
+            bins.reshape(B, Tp * CPT, CH),
+        )
+        recs = _gather_recs(
+            records, faces.reshape(B, compact * CH)[:, :, None]
+        ).reshape(B, compact * CH, RECF_LANES)
+        outs = pl.pallas_call(
+            functools.partial(_raster_kernel_v7, H=H, W=W, TX=tx, T=Tp),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, compact * CH, RECF_LANES),
+                             lambda b: (b, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((1, Tp, P), lambda b: (b, 0, 0))] * 5,
+            out_shape=[jax.ShapeDtypeStruct((B, Tp, P), jnp.int32)]
+            + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * 4,
+            interpret=interpret,
+        )(starts.reshape(B * Tp, 1), ends.reshape(B * Tp, 1), recs)
     else:
-        kernel = functools.partial(_raster_kernel_v4, H=H, W=W, TX=tx, TPS=tps)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(B, Tp // tps),
-        in_specs=[
-            pl.BlockSpec(
-                (tps, 1),
-                lambda b, g, Tp=Tp, tps=tps: ((b * Tp + g * tps) // tps, 0),
-                memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tps, capacity, RECF_LANES),
-                         lambda b, g: (b, g, 0, 0)),
-        ],
-        out_specs=[pl.BlockSpec((1, tps, P), lambda b, g: (b, g, 0))] * 5,
-        out_shape=[jax.ShapeDtypeStruct((B, Tp, P), jnp.int32)]
-        + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * 4,
-        interpret=interpret,
-    )(counts.reshape(B * Tp, 1), recs)
+        recs = jax.vmap(lambda r, b: r[jnp.maximum(b, 0)])(
+            records, bins.reshape(B, -1)
+        ).reshape(B, Tp, capacity, RECF_LANES)
+        kill = jnp.zeros((RECF_LANES,)).at[2].set(-1.0).at[12].set(-1.0)
+        recs = jnp.where((bins < 0)[..., None], kill, recs)
+        if sort_tiles:
+            recs = _tilelocal_adjust(recs, tids, image_size, tx)
+
+        if sort_tiles:
+            kernel = functools.partial(_raster_kernel_v6tl, H=H, W=W, TPS=tps)
+        elif merged:
+            kernel = functools.partial(
+                _raster_kernel_v6, H=H, W=W, TX=tx, TPS=tps)
+        else:
+            kernel = functools.partial(
+                _raster_kernel_v4, H=H, W=W, TX=tx, TPS=tps)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B, Tp // tps),
+            in_specs=[
+                pl.BlockSpec(
+                    (tps, 1),
+                    lambda b, g, Tp=Tp, tps=tps: (
+                        (b * Tp + g * tps) // tps, 0),
+                    memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, tps, capacity, RECF_LANES),
+                             lambda b, g: (b, g, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((1, tps, P), lambda b, g: (b, g, 0))] * 5,
+            out_shape=[jax.ShapeDtypeStruct((B, Tp, P), jnp.int32)]
+            + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * 4,
+            interpret=interpret,
+        )(counts.reshape(B * Tp, 1), recs)
 
     if inv_order is not None:
         outs = [
@@ -1648,7 +1848,78 @@ def _raster_kernel_v5(counts_ref, recs_ref, face_out, z_out, slot_out,
             val_outs[d][0, j, :] = jnp.where(covered, bvals[d], 0.0)[0]
 
 
-def _v5_impl(face_verts, attributes, image_size, capacity, interpret):
+def _raster_kernel_v5c(starts_ref, ends_ref, recs_ref, face_out, z_out,
+                       slot_out, *val_outs, H, W, TX, D, T):
+    """Compact-list twin of _raster_kernel_v5 (see _raster_kernel_v7):
+    grid (B,), dynamic tile loop, per-tile dynamic chunk windows into one
+    per-image compact record block. slot_out keeps the per-TILE slot
+    index ((c - start)*CH + best) so the backward's bins fold is
+    unchanged."""
+    P = TILE_ROWS * TILE_COLS
+    CH = V3_CHUNK
+
+    prow = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // TILE_COLS
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
+    slot = jax.lax.broadcasted_iota(jnp.int32, (CH, P), 0)
+
+    def tile_body(j, carry0):
+        ty = j // TX
+        tx = j % TX
+        xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
+        ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32) + 1.0 - H) / H
+        s = starts_ref[j, 0]
+
+        def chunk_body(c, carry):
+            bz, bfid, bslot, bvals = carry
+            off = pl.multiple_of(c * CH, CH)
+            rec = recs_ref[0, pl.ds(off, CH), :]  # (CH,REC5_LANES)
+            e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
+            e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
+            e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
+            z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
+            fid = rec[:, 12:13]
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
+            zm = jnp.where(inside, z, BIG_Z)
+            cz = jnp.min(zm, axis=0, keepdims=True)
+            cand = jnp.where(zm == cz, slot, CH)
+            best = jnp.min(cand, axis=0, keepdims=True)
+            oh = (slot == best).astype(jnp.float32)
+            cfid = jnp.sum(oh * fid, axis=0, keepdims=True)
+            cslot = (best + (c - s) * CH).astype(jnp.float32)
+            cvals = []
+            for d in range(D):
+                vd = (rec[:, 13 + d: 14 + d] * xs
+                      + rec[:, 13 + D + d: 14 + D + d] * ys
+                      + rec[:, 13 + 2 * D + d: 14 + 2 * D + d])
+                cvals.append(jnp.sum(oh * vd, axis=0, keepdims=True))
+            better = cz < bz  # earlier chunk wins ties (slot order kept)
+            sel = lambda a, b: jnp.where(better, a, b)
+            return (sel(cz, bz), sel(cfid, bfid), sel(cslot, bslot),
+                    tuple(sel(cv, bv) for cv, bv in zip(cvals, bvals)))
+
+        zero = jnp.zeros((1, P))
+        bz, bfid, bslot, bvals = jax.lax.fori_loop(
+            s, ends_ref[j, 0], chunk_body,
+            (jnp.full((1, P), BIG_Z), jnp.full((1, P), -1.0),
+             jnp.full((1, P), -1.0), tuple(zero for _ in range(D))),
+        )
+        covered = bz < BIG_Z
+        face_out[0, pl.ds(j, 1), :] = jnp.where(covered, bfid, -1.0).astype(
+            jnp.int32
+        )
+        z_out[0, pl.ds(j, 1), :] = jnp.where(covered, bz, BIG_Z)
+        slot_out[0, pl.ds(j, 1), :] = jnp.where(covered, bslot, -1.0).astype(
+            jnp.int32
+        )
+        for d in range(D):
+            val_outs[d][0, pl.ds(j, 1), :] = jnp.where(covered, bvals[d], 0.0)
+        return carry0
+
+    jax.lax.fori_loop(0, T, tile_body, 0)
+
+
+def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
+             compact=None):
     """-> (vals (B,H,W,D), pix_to_face, zbuf, pix_to_slot, bins)."""
     assert capacity % V3_CHUNK == 0
     B, F = face_verts.shape[:2]
@@ -1669,32 +1940,85 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret):
     planes = attr_planes(face_verts, attributes)  # (B,F,3D)
     pad = jnp.zeros((B, F, REC5_LANES - 13 - 3 * D), face_verts.dtype)
     records = jnp.concatenate([base, planes, pad], axis=-1)
-    recs = jax.vmap(lambda r, b: r[jnp.maximum(b, 0)])(
-        records, bins.reshape(B, -1)
-    ).reshape(B, Tp, capacity, REC5_LANES)
-    kill = jnp.zeros((REC5_LANES,), face_verts.dtype).at[2].set(-1.0).at[12].set(-1.0)
-    recs = jnp.where((bins < 0)[..., None], kill, recs)
-
     P = TILE_ROWS * TILE_COLS
-    outs = pl.pallas_call(
-        functools.partial(_raster_kernel_v5, H=H, W=W, TX=tx, D=D, TPS=tps),
-        grid=(B, Tp // tps),
-        in_specs=[
-            pl.BlockSpec(
-                (tps, 1),
-                lambda b, g, Tp=Tp, tps=tps: ((b * Tp + g * tps) // tps, 0),
-                memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tps, capacity, REC5_LANES),
-                         lambda b, g: (b, g, 0, 0)),
-        ],
-        out_specs=[pl.BlockSpec((1, tps, P), lambda b, g: (b, g, 0))] * (3 + D),
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Tp, P), jnp.int32),
-            jax.ShapeDtypeStruct((B, Tp, P), jnp.float32),
-            jax.ShapeDtypeStruct((B, Tp, P), jnp.int32),
-        ] + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * D,
-        interpret=interpret,
-    )(counts.reshape(B * Tp, 1), recs)
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, Tp, P), jnp.int32),
+        jax.ShapeDtypeStruct((B, Tp, P), jnp.float32),
+        jax.ShapeDtypeStruct((B, Tp, P), jnp.int32),
+    ] + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * D
+    if compact is not None:
+        CH = V3_CHUNK
+        CPT = capacity // CH
+        compact = -(-compact // 8) * 8
+        starts, ends, tof, meta = _compact_plan(counts, compact)
+        faces = pl.pallas_call(
+            functools.partial(_compact_faces_kernel, CPT=CPT),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((8, 1), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((compact, 1), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, Tp * CPT, CH), lambda b: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, compact, CH), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, compact, CH), jnp.int32),
+            interpret=interpret,
+        )(
+            meta.reshape(B * 8, 1),
+            tof.reshape(B * compact, 1),
+            starts.reshape(B * Tp, 1),
+            bins.reshape(B, Tp * CPT, CH),
+        )
+        recs = _gather_recs(
+            records, faces.reshape(B, compact * CH)[:, :, None]
+        ).reshape(B, compact * CH, REC5_LANES)
+        outs = pl.pallas_call(
+            functools.partial(
+                _raster_kernel_v5c, H=H, W=W, TX=tx, D=D, T=Tp),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, compact * CH, REC5_LANES),
+                             lambda b: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Tp, P), lambda b: (b, 0, 0))] * (3 + D),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(starts.reshape(B * Tp, 1), ends.reshape(B * Tp, 1), recs)
+    else:
+        recs = jax.vmap(lambda r, b: r[jnp.maximum(b, 0)])(
+            records, bins.reshape(B, -1)
+        ).reshape(B, Tp, capacity, REC5_LANES)
+        kill = jnp.zeros(
+            (REC5_LANES,), face_verts.dtype
+        ).at[2].set(-1.0).at[12].set(-1.0)
+        recs = jnp.where((bins < 0)[..., None], kill, recs)
+
+        outs = pl.pallas_call(
+            functools.partial(
+                _raster_kernel_v5, H=H, W=W, TX=tx, D=D, TPS=tps),
+            grid=(B, Tp // tps),
+            in_specs=[
+                pl.BlockSpec(
+                    (tps, 1),
+                    lambda b, g, Tp=Tp, tps=tps: (
+                        (b * Tp + g * tps) // tps, 0),
+                    memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, tps, capacity, REC5_LANES),
+                             lambda b, g: (b, g, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tps, P), lambda b, g: (b, g, 0))] * (3 + D),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(counts.reshape(B * Tp, 1), recs)
 
     def to_image(x):
         x = x[:, :T].reshape(B, ty, tx, TILE_ROWS, TILE_COLS)
@@ -1708,10 +2032,10 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret):
     return vals, p2f, zbuf, p2slot, bins[:, :Tp8]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def rasterize_planes_diff(
     face_verts, attributes, image_size: int, capacity: int,
-    interpret: bool = False,
+    interpret: bool = False, compact: Optional[int] = None,
 ):
     """Fused differentiable raster: (vals (B,H,W,D), mask, pix_to_face).
 
@@ -1722,22 +2046,23 @@ def rasterize_planes_diff(
     """
     vals, p2f, _, _, _ = _v5_impl(
         jax.lax.stop_gradient(face_verts), jax.lax.stop_gradient(attributes),
-        image_size, capacity, interpret,
+        image_size, capacity, interpret, compact,
     )
     mask = (p2f >= 0)[..., None].astype(vals.dtype)
     return vals, mask, p2f
 
 
-def _rpd_fwd(face_verts, attributes, image_size, capacity, interpret):
+def _rpd_fwd(face_verts, attributes, image_size, capacity, interpret,
+             compact):
     vals, p2f, _, p2slot, bins = _v5_impl(
         jax.lax.stop_gradient(face_verts), jax.lax.stop_gradient(attributes),
-        image_size, capacity, interpret,
+        image_size, capacity, interpret, compact,
     )
     mask = (p2f >= 0)[..., None].astype(vals.dtype)
     return (vals, mask, p2f), (face_verts, attributes, p2slot, bins)
 
 
-def _rpd_bwd(image_size, capacity, interpret, res, cts):
+def _rpd_bwd(image_size, capacity, interpret, compact, res, cts):
     g_vals = cts[0]  # mask/p2f cotangents carry no gradient information
     face_verts, attributes, p2slot, bins = res
     B, H, W, D = g_vals.shape

@@ -32,6 +32,7 @@ class Renderer:
         image_size: int = 224,
         bin_capacity: Optional[int] = None,
         use_pallas: Optional[bool] = None,
+        raster_compact: Optional[int] = None,
     ):
         self.image_size = image_size
         self.use_pallas = use_pallas
@@ -70,6 +71,30 @@ class Renderer:
             need = max(384, -(-4 * F // tiles // 32) * 32)
             bin_capacity = min(-(-F // 32) * 32, need)
         self.bin_capacity = bin_capacity
+
+        if raster_compact is None:
+            # auto: compact chunk budget = 1.5 face-chunks per face + one
+            # rounding chunk per tile, clamped to [96, worst case]. Occupied
+            # chunks ~= (face, tile) incidence / 32 + per-tile rounding;
+            # measured occupancy for the full-coverage face submesh
+            # (F=3408): 144-156 chunks at 224px, 111 at 64px -> this budget
+            # (216 / 168) keeps ~1.4x headroom at both scales. The
+            # record-gather cost scales with the budget — measured e2e fps
+            # at 224px batch 64: padded 2357, budget 336 -> 2875, 224 ->
+            # 3130, 192 -> 3197 (tools/tpu_compact_validate.py +
+            # tpu_compact_budget_bench.py); output/gradients are exact
+            # whenever the occupied chunks fit, and overflow degrades
+            # gracefully (trailing tiles drop farthest-face chunks first).
+            # 0 disables (padded per-tile kernel).
+            CH = raster_lib.V3_CHUNK
+            ty = -(-image_size // raster_lib.TILE_ROWS)
+            tx = -(-image_size // raster_lib.TILE_COLS)
+            Tp = -(-(ty * tx) // 8) * 8
+            worst = Tp * (self.bin_capacity // CH)
+            F = int(self.faces.shape[0])
+            est = -(-(F * 3) // (2 * CH)) + Tp
+            raster_compact = min(worst, max(96, -(-est // 8) * 8))
+        self.raster_compact = raster_compact
 
     def project(self, vertices: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
         """Full-mesh NDC vertices (y/z flipped), reference renderer.py:101-102."""
@@ -129,6 +154,7 @@ class Renderer:
             self.image_size,
             capacity=self.bin_capacity,
             use_pallas=self.use_pallas,
+            compact=self.raster_compact or None,
         )
         shade = shading.directional_shading(pixel_vals)
         return shading.GRAY_ALBEDO * shade * mask, mask, pix_to_face
@@ -152,6 +178,7 @@ class Renderer:
             face_verts, face_normals, self.image_size,
             capacity=self.bin_capacity,
             interpret=raster_lib.default_interpret(),
+            compact=self.raster_compact or None,
         )
         mask = (pix_to_face >= 0)[..., None].astype(normal_img.dtype)
         shade = shading.directional_shading(normal_img)

@@ -79,6 +79,7 @@ class SmirkSystem:
         mica_variables=None,
         templates: Optional[np.ndarray] = None,
         use_pallas: Optional[bool] = None,
+        raster_compact: Optional[int] = None,
         generator_features: int = 32,
         generator_res_blocks: int = 5,
     ):
@@ -92,6 +93,7 @@ class SmirkSystem:
             render_full_head=c.render.full_head,
             image_size=c.image_size,
             use_pallas=use_pallas,
+            raster_compact=raster_compact,
         )
         compute_dtype = jnp.bfloat16 if c.arch.bf16_compute else None
         self.encoder = SmirkEncoder(

@@ -251,6 +251,41 @@ def test_fused_merged_loop_matches_v4():
         np.testing.assert_array_equal(np.asarray(zb4), np.asarray(zb6))
 
 
+def test_fused_compact_matches_v4():
+    """v7 (compact per-image chunk list + per-tile dynamic windows) is
+    bit-identical to v4 when cmax covers the occupied chunks."""
+    rng = np.random.default_rng(13)
+    fv = random_mesh(rng, F=50, B=2)
+    fn = jnp.asarray(rng.normal(0, 1, (2, 50, 3, 3)).astype(np.float32))
+    img4, p2f4, zb4 = R.rasterize_normals_fused(fv, fn, 32, capacity=64,
+                                                interpret=True)
+    bins, counts = R.bin_faces(fv, 32, 64)
+    needed = int(np.asarray((-(-counts // R.V3_CHUNK)).sum(axis=1)).max())
+    img7, p2f7, zb7 = R.rasterize_normals_fused(
+        fv, fn, 32, capacity=64, interpret=True, compact=needed)
+    np.testing.assert_array_equal(np.asarray(p2f4), np.asarray(p2f7))
+    np.testing.assert_array_equal(np.asarray(img4), np.asarray(img7))
+    np.testing.assert_array_equal(np.asarray(zb4), np.asarray(zb7))
+
+
+def test_fused_compact_truncation_degrades_gracefully():
+    """cmax below the occupied chunk count drops trailing tiles' faces but
+    never crashes or corrupts other tiles."""
+    rng = np.random.default_rng(13)
+    fv = random_mesh(rng, F=50, B=2)
+    fn = jnp.asarray(rng.normal(0, 1, (2, 50, 3, 3)).astype(np.float32))
+    img4, p2f4, _ = R.rasterize_normals_fused(fv, fn, 32, capacity=64,
+                                              interpret=True)
+    img7, p2f7, _ = R.rasterize_normals_fused(
+        fv, fn, 32, capacity=64, interpret=True, compact=2)
+    a4, a7 = np.asarray(p2f4), np.asarray(p2f7)
+    # covered pixels in v7 are a (possibly equal) subset of v4's and agree
+    # where present; truncation must never corrupt surviving tiles
+    covered7 = a7 >= 0
+    assert covered7.sum() <= (a4 >= 0).sum()
+    np.testing.assert_array_equal(a7[covered7], a4[covered7])
+
+
 def test_backface_cull_drops_one_winding():
     """With culling on, only faces of the kept winding rasterize; the other
     winding's pixels become background (or a kept face behind them)."""
@@ -371,6 +406,30 @@ def test_rasterize_dispatches_to_v5():
     ref, refm, refp = R.rasterize_planes_diff(fv, attr, 32, 64, True)
     np.testing.assert_array_equal(np.asarray(p2f), np.asarray(refp))
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref), rtol=1e-6)
+
+
+def test_planes_diff_compact_matches_padded():
+    """The compact-list v5 forward is bit-identical to the padded v5, and
+    its custom-VJP gradients match too (the backward consumes the same
+    per-tile slot/bins contract)."""
+    rng = np.random.default_rng(17)
+    fv = random_mesh(rng, F=40, B=2)
+    attr = jnp.asarray(rng.normal(0, 1, (2, 40, 3, 3)).astype(np.float32))
+    size, cap = 32, 64
+    ref, refm, refp = R.rasterize_planes_diff(fv, attr, size, cap, True)
+    vals, mask, p2f = R.rasterize_planes_diff(fv, attr, size, cap, True, 24)
+    np.testing.assert_array_equal(np.asarray(refp), np.asarray(p2f))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(vals))
+
+    def loss(f, a, compact):
+        v, m, _ = R.rasterize_planes_diff(f, a, size, cap, True, compact)
+        return jnp.sum(jnp.sin(v) * v)
+
+    g1 = jax.grad(loss, argnums=(0, 1))(fv, attr, None)
+    g2 = jax.grad(loss, argnums=(0, 1))(fv, attr, 24)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_interpolate_fast_gradients_match_plain():
