@@ -201,7 +201,8 @@ def _pad_bins(bins, counts, capacity, k, T):
 
 
 def bin_faces_flat(
-    face_verts: jnp.ndarray, image_size: int, capacity: int
+    face_verts: jnp.ndarray, image_size: int, capacity: int,
+    approx: Optional[float] = None,
 ) -> jnp.ndarray:
     """Assign triangles to pixel tiles by bounding box. -> (B, Tp, C) int32,
     -1 padded, where T = (H/TILE_ROWS)*(Wpad/TILE_COLS) and Tp rounds T up to
@@ -239,9 +240,24 @@ def bin_faces_flat(
     # when a bin overflows its capacity, the dropped faces are the farthest —
     # overwhelmingly occluded — ones, keeping overflow artifacts negligible
     # (PyTorch3D's max_faces_per_bin overflow drops arbitrarily).
-    key = overlap.astype(jnp.int32) * prio_span - prio[:, None, :]
     k = min(capacity, F)
-    vals, idx = jax.lax.top_k(key, k)  # (B,T,k)
+    if approx is None:
+        approx = _BIN_APPROX
+    if approx is not None:
+        # The kernel needs MEMBERSHIP of the nearest <=k faces, not their
+        # order (min-z happens in the z-buffer kernel; order only breaks
+        # ties on overflow), so the TPU-native approximate top-k applies.
+        # A missed face is simply dropped from the tile, same failure mode
+        # as capacity overflow.
+        keyf = jnp.where(
+            overlap,
+            (prio_span - prio).astype(jnp.float32)[:, None, :],
+            -1.0,
+        )
+        vals, idx = jax.lax.approx_max_k(keyf, k, recall_target=approx)
+    else:
+        key = overlap.astype(jnp.int32) * prio_span - prio[:, None, :]
+        vals, idx = jax.lax.top_k(key, k)  # (B,T,k)
     valid = vals > 0
     bins = jnp.where(valid, idx, -1).astype(jnp.int32)
     counts = valid.sum(-1).astype(jnp.int32)  # (B,T)
@@ -349,14 +365,20 @@ def bin_faces_hier(
 # reappears on a profile.
 _BIN_HIER = False
 
+# Recall target for jax.lax.approx_max_k binning (None = exact top_k).
+# See bin_faces_flat; flip via set_bin_mode and clear jit caches.
+_BIN_APPROX: Optional[float] = None
 
-def set_bin_mode(hier: bool) -> None:
-    global _BIN_HIER
+
+def set_bin_mode(hier: bool, approx: Optional[float] = None) -> None:
+    global _BIN_HIER, _BIN_APPROX
     _BIN_HIER = hier
+    _BIN_APPROX = approx
 
 
 def bin_faces(
-    face_verts: jnp.ndarray, image_size: int, capacity: int
+    face_verts: jnp.ndarray, image_size: int, capacity: int,
+    approx: Optional[float] = None,
 ) -> jnp.ndarray:
     F = face_verts.shape[1]
     ty = -(-image_size // TILE_ROWS)
@@ -364,7 +386,7 @@ def bin_faces(
     # there is more than one band of tiles
     if _BIN_HIER and F > 2 * COARSE_CAPACITY and ty > BAND_TILES:
         return bin_faces_hier(face_verts, image_size, capacity)
-    return bin_faces_flat(face_verts, image_size, capacity)
+    return bin_faces_flat(face_verts, image_size, capacity, approx)
 
 
 def _raster_kernel(counts_ref, bins_ref, fv_ref, face_out, z_out, *, H, W, TX):
@@ -1016,90 +1038,149 @@ def _compact_faces_kernel(meta_ref, tof_ref, starts_ref, bins_ref, out_ref,
                           *, CPT):
     """Copy each occupied chunk's 32 slot ids into the compact list.
 
-    grid (B,). bins_ref (1, Tp*CPT, CH) int32 — tile t's chunk k at row
-    t*CPT + k; out_ref (1, cmax, CH). ~150 dynamic row copies per image
-    replace the per-row XLA index gathers."""
+    grid (B/IPG,). bins_ref (IPG, Tp*CPT, CH) int32 — image g's tile t,
+    chunk k at row t*CPT + k; out_ref (IPG, cmax, CH). ~150 dynamic row
+    copies per image replace the per-row XLA index gathers. IPG images per
+    grid step amortize the ~45us Mosaic per-step overhead (this kernel's
+    per-image work is tiny, so the overhead dominates its cost)."""
+    IPG = out_ref.shape[0]
+    cmax = out_ref.shape[1]
+    Tp = bins_ref.shape[1] // CPT
     out_ref[...] = jnp.full_like(out_ref, -1)
 
-    def body(c, carry):
-        t = tof_ref[c, 0]
-        k = c - starts_ref[t, 0]
-        src = t * CPT + k
-        out_ref[0, pl.ds(c, 1), :] = bins_ref[0, pl.ds(src, 1), :]
-        return carry
+    for g in range(IPG):
+        def body(c, carry, g=g):
+            t = tof_ref[g * cmax + c, 0]
+            k = c - starts_ref[g * Tp + t, 0]
+            src = t * CPT + k
+            out_ref[g, pl.ds(c, 1), :] = bins_ref[g, pl.ds(src, 1), :]
+            return carry
 
-    jax.lax.fori_loop(0, meta_ref[0, 0], body, 0)
+        jax.lax.fori_loop(0, meta_ref[g * 8, 0], body, 0)
+
+
+def _pick_ipg(B: int, per_image_bytes: int, smem_rows: int = 0) -> int:
+    """Images per grid step for the compact kernels (amortizes the ~45us
+    Mosaic per-step overhead), bounded by a ~5MB single-buffer VMEM budget
+    (blocks are double-buffered into the ~16MB of VMEM) and by SMEM:
+    each (N,1) scalar-window row costs 512B double-buffered against the
+    ~1MB scalar memory (measured: an s32[1728,1] window allocates
+    1.73MB and fails to compile)."""
+    for ipg in (8, 4, 2, 1):
+        if (B % ipg == 0
+                and ipg * per_image_bytes <= 5 * 1024 * 1024
+                and ipg * smem_rows * 512 * 2 <= 768 * 1024):
+            return ipg
+    return 1
+
+
+def _compact_faces(meta, tof, starts, bins, B, Tp, CPT, compact, interpret):
+    """Run _compact_faces_kernel -> (B, compact, CH) packed slot ids."""
+    CH = V3_CHUNK
+    ipg = _pick_ipg(B, Tp * CPT * CH * 4 + compact * CH * 4,
+                    smem_rows=8 + compact + Tp)
+    return pl.pallas_call(
+        functools.partial(_compact_faces_kernel, CPT=CPT),
+        grid=(B // ipg,),
+        in_specs=[
+            pl.BlockSpec((ipg * 8, 1), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ipg * compact, 1), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ipg * Tp, 1), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ipg, Tp * CPT, CH), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((ipg, compact, CH), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, compact, CH), jnp.int32),
+        interpret=interpret,
+    )(
+        meta.reshape(B * 8, 1),
+        tof.reshape(B * compact, 1),
+        starts.reshape(B * Tp, 1),
+        bins.reshape(B, Tp * CPT, CH),
+    )
 
 
 def _raster_kernel_v7(starts_ref, ends_ref, recs_ref, face_out, z_out,
                       nx_out, ny_out, nz_out, *, H, W, TX, T):
     """v4 z-buffer math over the COMPACT per-image record list.
 
-    grid (B,): ONE step per image, so the compact records block is DMA'd
-    exactly once (a g-invariant BlockSpec on a (B, g) grid was measured to
-    re-fetch every step, +6ms/64 chunks; manual make_async_copy from an
-    ANY-space ref fails this toolchain's Mosaic compile —
-    tools/tpu_compact_bench.py + /tmp isolation probes). Tiles iterate in
-    a dynamic fori_loop (no TPS unroll -> no compile blowup); each tile
-    runs its own dynamic chunk window [starts, ends). Output and
-    tie-break semantics identical to _raster_kernel_v4."""
+    grid (B/IPG,): each step handles IPG images (static unroll), so the
+    compact records block is DMA'd exactly once per image (a g-invariant
+    BlockSpec on a (B, g) grid was measured to re-fetch every step,
+    +6ms/64 chunks; manual make_async_copy from an ANY-space ref fails
+    this toolchain's Mosaic compile — tools/tpu_compact_bench.py + /tmp
+    isolation probes). IPG>1 measured perf-NEUTRAL at batch 64 (the
+    per-step overhead is already pipelined at B-step grids,
+    tools/tpu_ipg_bench.py: 15.24 vs 15.22 ms) and bit-exact; kept since
+    it lets both call sites share one helper. Tiles iterate in a dynamic
+    fori_loop (no TPS unroll -> no compile blowup); each tile runs its
+    own dynamic chunk window [starts, ends). Output and tie-break
+    semantics identical to _raster_kernel_v4."""
     P = TILE_ROWS * TILE_COLS
     CH = V3_CHUNK
+    IPG = face_out.shape[0]
 
     prow = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // TILE_COLS
     pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
     slot = jax.lax.broadcasted_iota(jnp.int32, (CH, P), 0)
 
-    def tile_body(j, carry0):
-        ty = j // TX
-        tx = j % TX
-        xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
-        ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32) + 1.0 - H) / H
+    def make_tile_body(g):
+        def tile_body(j, carry0):
+            ty = j // TX
+            tx = j % TX
+            xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32)
+                  + 1.0 - W) / W
+            ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32)
+                  + 1.0 - H) / H
 
-        def chunk_body(c, carry):
-            bz, bfid, bnx, bny, bnz = carry
-            off = pl.multiple_of(c * CH, CH)
-            rec = recs_ref[0, pl.ds(off, CH), :]  # (CH,32)
-            e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
-            e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
-            e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
-            z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
-            fid = rec[:, 12:13]
-            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
-            zm = jnp.where(inside, z, BIG_Z)
-            cz = jnp.min(zm, axis=0, keepdims=True)
-            cand = jnp.where(zm == cz, slot, CH)
-            best = jnp.min(cand, axis=0, keepdims=True)
-            oh = (slot == best).astype(jnp.float32)
-            nx = rec[:, 16:17] * xs + rec[:, 19:20] * ys + rec[:, 22:23]
-            ny = rec[:, 17:18] * xs + rec[:, 20:21] * ys + rec[:, 23:24]
-            nz = rec[:, 18:19] * xs + rec[:, 21:22] * ys + rec[:, 24:25]
-            cfid = jnp.sum(oh * fid, axis=0, keepdims=True)
-            cnx = jnp.sum(oh * nx, axis=0, keepdims=True)
-            cny = jnp.sum(oh * ny, axis=0, keepdims=True)
-            cnz = jnp.sum(oh * nz, axis=0, keepdims=True)
-            better = cz < bz  # earlier chunk wins ties (slot order kept)
-            sel = lambda a, b: jnp.where(better, a, b)
-            return (sel(cz, bz), sel(cfid, bfid), sel(cnx, bnx),
-                    sel(cny, bny), sel(cnz, bnz))
+            def chunk_body(c, carry):
+                bz, bfid, bnx, bny, bnz = carry
+                off = pl.multiple_of(c * CH, CH)
+                rec = recs_ref[g, pl.ds(off, CH), :]  # (CH,32)
+                e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
+                e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
+                e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
+                z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
+                fid = rec[:, 12:13]
+                inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
+                zm = jnp.where(inside, z, BIG_Z)
+                cz = jnp.min(zm, axis=0, keepdims=True)
+                cand = jnp.where(zm == cz, slot, CH)
+                best = jnp.min(cand, axis=0, keepdims=True)
+                oh = (slot == best).astype(jnp.float32)
+                nx = rec[:, 16:17] * xs + rec[:, 19:20] * ys + rec[:, 22:23]
+                ny = rec[:, 17:18] * xs + rec[:, 20:21] * ys + rec[:, 23:24]
+                nz = rec[:, 18:19] * xs + rec[:, 21:22] * ys + rec[:, 24:25]
+                cfid = jnp.sum(oh * fid, axis=0, keepdims=True)
+                cnx = jnp.sum(oh * nx, axis=0, keepdims=True)
+                cny = jnp.sum(oh * ny, axis=0, keepdims=True)
+                cnz = jnp.sum(oh * nz, axis=0, keepdims=True)
+                better = cz < bz  # earlier chunk wins ties (slot order kept)
+                sel = lambda a, b: jnp.where(better, a, b)
+                return (sel(cz, bz), sel(cfid, bfid), sel(cnx, bnx),
+                        sel(cny, bny), sel(cnz, bnz))
 
-        zero = jnp.zeros((1, P))
-        bz, bfid, bnx, bny, bnz = jax.lax.fori_loop(
-            starts_ref[j, 0], ends_ref[j, 0], chunk_body,
-            (jnp.full((1, P), BIG_Z), jnp.full((1, P), -1.0),
-             zero, zero, zero),
-        )
-        covered = bz < BIG_Z
-        face_out[0, pl.ds(j, 1), :] = jnp.where(covered, bfid, -1.0).astype(
-            jnp.int32
-        )
-        z_out[0, pl.ds(j, 1), :] = jnp.where(covered, bz, BIG_Z)
-        nx_out[0, pl.ds(j, 1), :] = jnp.where(covered, bnx, 0.0)
-        ny_out[0, pl.ds(j, 1), :] = jnp.where(covered, bny, 0.0)
-        nz_out[0, pl.ds(j, 1), :] = jnp.where(covered, bnz, 0.0)
-        return carry0
+            zero = jnp.zeros((1, P))
+            bz, bfid, bnx, bny, bnz = jax.lax.fori_loop(
+                starts_ref[g * T + j, 0], ends_ref[g * T + j, 0], chunk_body,
+                (jnp.full((1, P), BIG_Z), jnp.full((1, P), -1.0),
+                 zero, zero, zero),
+            )
+            covered = bz < BIG_Z
+            face_out[g, pl.ds(j, 1), :] = jnp.where(
+                covered, bfid, -1.0).astype(jnp.int32)
+            z_out[g, pl.ds(j, 1), :] = jnp.where(covered, bz, BIG_Z)
+            nx_out[g, pl.ds(j, 1), :] = jnp.where(covered, bnx, 0.0)
+            ny_out[g, pl.ds(j, 1), :] = jnp.where(covered, bny, 0.0)
+            nz_out[g, pl.ds(j, 1), :] = jnp.where(covered, bnz, 0.0)
+            return carry0
 
-    jax.lax.fori_loop(0, T, tile_body, 0)
+        return tile_body
+
+    for g in range(IPG):
+        jax.lax.fori_loop(0, T, make_tile_body(g), 0)
 
 
 # RECF record lane layout groups for the tile-local rebasing: lanes holding
@@ -1273,7 +1354,7 @@ def _raster_kernel_v6(counts_ref, recs_ref, face_out, z_out,
     jax.jit,
     static_argnames=(
         "image_size", "capacity", "interpret", "merged", "tps", "sort_tiles",
-        "compact",
+        "compact", "bin_approx",
     ),
 )
 def rasterize_normals_fused(
@@ -1286,10 +1367,13 @@ def rasterize_normals_fused(
     tps: Optional[int] = None,
     sort_tiles: bool = False,
     compact: Optional[int] = None,
+    bin_approx: Optional[float] = None,
 ):
     """Fused inference raster: -> (normal image (B,H,W,3), pix_to_face,
     zbuf). Non-differentiable (inference/visualization path; training uses
-    interpolate_attributes for gradients)."""
+    interpolate_attributes for gradients). bin_approx: recall target for
+    approx_max_k binning (inference-quality knob; the differentiable
+    training raster keeps exact top_k)."""
     assert capacity % V3_CHUNK == 0
     B, F = face_verts.shape[:2]
     H = W = image_size
@@ -1298,7 +1382,7 @@ def rasterize_normals_fused(
     Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
     T = ty * tx
 
-    bins, counts = bin_faces(face_verts, image_size, capacity)
+    bins, counts = bin_faces(face_verts, image_size, capacity, bin_approx)
     if tps is None:
         tps = _pick_tps(bins.shape[1], capacity)
     bins, counts = _pad_tiles_to(bins, counts, tps)
@@ -1326,42 +1410,29 @@ def rasterize_normals_fused(
         CPT = capacity // CH
         compact = -(-compact // 8) * 8  # SMEM rows are 8-aligned
         starts, ends, tof, meta = _compact_plan(counts, compact)
-        faces = pl.pallas_call(
-            functools.partial(_compact_faces_kernel, CPT=CPT),
-            grid=(B,),
-            in_specs=[
-                pl.BlockSpec((8, 1), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((compact, 1), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, Tp * CPT, CH), lambda b: (b, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, compact, CH), lambda b: (b, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, compact, CH), jnp.int32),
-            interpret=interpret,
-        )(
-            meta.reshape(B * 8, 1),
-            tof.reshape(B * compact, 1),
-            starts.reshape(B * Tp, 1),
-            bins.reshape(B, Tp * CPT, CH),
+        faces = _compact_faces(
+            meta, tof, starts, bins, B, Tp, CPT, compact, interpret
         )
         recs = _gather_recs(
             records, faces.reshape(B, compact * CH)[:, :, None]
         ).reshape(B, compact * CH, RECF_LANES)
+        ipg = _pick_ipg(
+            B, compact * CH * RECF_LANES * 4 + 5 * Tp * P * 4,
+            smem_rows=2 * Tp,
+        )
         outs = pl.pallas_call(
             functools.partial(_raster_kernel_v7, H=H, W=W, TX=tx, T=Tp),
-            grid=(B,),
+            grid=(B // ipg,),
             in_specs=[
-                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
+                pl.BlockSpec((ipg * Tp, 1), lambda b: (b, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
+                pl.BlockSpec((ipg * Tp, 1), lambda b: (b, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, compact * CH, RECF_LANES),
+                pl.BlockSpec((ipg, compact * CH, RECF_LANES),
                              lambda b: (b, 0, 0)),
             ],
-            out_specs=[pl.BlockSpec((1, Tp, P), lambda b: (b, 0, 0))] * 5,
+            out_specs=[
+                pl.BlockSpec((ipg, Tp, P), lambda b: (b, 0, 0))] * 5,
             out_shape=[jax.ShapeDtypeStruct((B, Tp, P), jnp.int32)]
             + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * 4,
             interpret=interpret,
@@ -1851,71 +1922,77 @@ def _raster_kernel_v5(counts_ref, recs_ref, face_out, z_out, slot_out,
 def _raster_kernel_v5c(starts_ref, ends_ref, recs_ref, face_out, z_out,
                        slot_out, *val_outs, H, W, TX, D, T):
     """Compact-list twin of _raster_kernel_v5 (see _raster_kernel_v7):
-    grid (B,), dynamic tile loop, per-tile dynamic chunk windows into one
-    per-image compact record block. slot_out keeps the per-TILE slot
-    index ((c - start)*CH + best) so the backward's bins fold is
-    unchanged."""
+    grid (B/IPG,), IPG images per step (static unroll), dynamic tile
+    loop, per-tile dynamic chunk windows into one per-image compact
+    record block. slot_out keeps the per-TILE slot index
+    ((c - start)*CH + best) so the backward's bins fold is unchanged."""
     P = TILE_ROWS * TILE_COLS
     CH = V3_CHUNK
+    IPG = face_out.shape[0]
 
     prow = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // TILE_COLS
     pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
     slot = jax.lax.broadcasted_iota(jnp.int32, (CH, P), 0)
 
-    def tile_body(j, carry0):
-        ty = j // TX
-        tx = j % TX
-        xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32) + 1.0 - W) / W
-        ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32) + 1.0 - H) / H
-        s = starts_ref[j, 0]
+    def make_tile_body(g):
+        def tile_body(j, carry0):
+            ty = j // TX
+            tx = j % TX
+            xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32)
+                  + 1.0 - W) / W
+            ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32)
+                  + 1.0 - H) / H
+            s = starts_ref[g * T + j, 0]
 
-        def chunk_body(c, carry):
-            bz, bfid, bslot, bvals = carry
-            off = pl.multiple_of(c * CH, CH)
-            rec = recs_ref[0, pl.ds(off, CH), :]  # (CH,REC5_LANES)
-            e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
-            e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
-            e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
-            z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
-            fid = rec[:, 12:13]
-            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
-            zm = jnp.where(inside, z, BIG_Z)
-            cz = jnp.min(zm, axis=0, keepdims=True)
-            cand = jnp.where(zm == cz, slot, CH)
-            best = jnp.min(cand, axis=0, keepdims=True)
-            oh = (slot == best).astype(jnp.float32)
-            cfid = jnp.sum(oh * fid, axis=0, keepdims=True)
-            cslot = (best + (c - s) * CH).astype(jnp.float32)
-            cvals = []
+            def chunk_body(c, carry):
+                bz, bfid, bslot, bvals = carry
+                off = pl.multiple_of(c * CH, CH)
+                rec = recs_ref[g, pl.ds(off, CH), :]  # (CH,REC5_LANES)
+                e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
+                e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
+                e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
+                z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
+                fid = rec[:, 12:13]
+                inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
+                zm = jnp.where(inside, z, BIG_Z)
+                cz = jnp.min(zm, axis=0, keepdims=True)
+                cand = jnp.where(zm == cz, slot, CH)
+                best = jnp.min(cand, axis=0, keepdims=True)
+                oh = (slot == best).astype(jnp.float32)
+                cfid = jnp.sum(oh * fid, axis=0, keepdims=True)
+                cslot = (best + (c - s) * CH).astype(jnp.float32)
+                cvals = []
+                for d in range(D):
+                    vd = (rec[:, 13 + d: 14 + d] * xs
+                          + rec[:, 13 + D + d: 14 + D + d] * ys
+                          + rec[:, 13 + 2 * D + d: 14 + 2 * D + d])
+                    cvals.append(jnp.sum(oh * vd, axis=0, keepdims=True))
+                better = cz < bz  # earlier chunk wins ties (slot order)
+                sel = lambda a, b: jnp.where(better, a, b)
+                return (sel(cz, bz), sel(cfid, bfid), sel(cslot, bslot),
+                        tuple(sel(cv, bv) for cv, bv in zip(cvals, bvals)))
+
+            zero = jnp.zeros((1, P))
+            bz, bfid, bslot, bvals = jax.lax.fori_loop(
+                s, ends_ref[g * T + j, 0], chunk_body,
+                (jnp.full((1, P), BIG_Z), jnp.full((1, P), -1.0),
+                 jnp.full((1, P), -1.0), tuple(zero for _ in range(D))),
+            )
+            covered = bz < BIG_Z
+            face_out[g, pl.ds(j, 1), :] = jnp.where(
+                covered, bfid, -1.0).astype(jnp.int32)
+            z_out[g, pl.ds(j, 1), :] = jnp.where(covered, bz, BIG_Z)
+            slot_out[g, pl.ds(j, 1), :] = jnp.where(
+                covered, bslot, -1.0).astype(jnp.int32)
             for d in range(D):
-                vd = (rec[:, 13 + d: 14 + d] * xs
-                      + rec[:, 13 + D + d: 14 + D + d] * ys
-                      + rec[:, 13 + 2 * D + d: 14 + 2 * D + d])
-                cvals.append(jnp.sum(oh * vd, axis=0, keepdims=True))
-            better = cz < bz  # earlier chunk wins ties (slot order kept)
-            sel = lambda a, b: jnp.where(better, a, b)
-            return (sel(cz, bz), sel(cfid, bfid), sel(cslot, bslot),
-                    tuple(sel(cv, bv) for cv, bv in zip(cvals, bvals)))
+                val_outs[d][g, pl.ds(j, 1), :] = jnp.where(
+                    covered, bvals[d], 0.0)
+            return carry0
 
-        zero = jnp.zeros((1, P))
-        bz, bfid, bslot, bvals = jax.lax.fori_loop(
-            s, ends_ref[j, 0], chunk_body,
-            (jnp.full((1, P), BIG_Z), jnp.full((1, P), -1.0),
-             jnp.full((1, P), -1.0), tuple(zero for _ in range(D))),
-        )
-        covered = bz < BIG_Z
-        face_out[0, pl.ds(j, 1), :] = jnp.where(covered, bfid, -1.0).astype(
-            jnp.int32
-        )
-        z_out[0, pl.ds(j, 1), :] = jnp.where(covered, bz, BIG_Z)
-        slot_out[0, pl.ds(j, 1), :] = jnp.where(covered, bslot, -1.0).astype(
-            jnp.int32
-        )
-        for d in range(D):
-            val_outs[d][0, pl.ds(j, 1), :] = jnp.where(covered, bvals[d], 0.0)
-        return carry0
+        return tile_body
 
-    jax.lax.fori_loop(0, T, tile_body, 0)
+    for g in range(IPG):
+        jax.lax.fori_loop(0, T, make_tile_body(g), 0)
 
 
 def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
@@ -1951,44 +2028,30 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
         CPT = capacity // CH
         compact = -(-compact // 8) * 8
         starts, ends, tof, meta = _compact_plan(counts, compact)
-        faces = pl.pallas_call(
-            functools.partial(_compact_faces_kernel, CPT=CPT),
-            grid=(B,),
-            in_specs=[
-                pl.BlockSpec((8, 1), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((compact, 1), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, Tp * CPT, CH), lambda b: (b, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, compact, CH), lambda b: (b, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, compact, CH), jnp.int32),
-            interpret=interpret,
-        )(
-            meta.reshape(B * 8, 1),
-            tof.reshape(B * compact, 1),
-            starts.reshape(B * Tp, 1),
-            bins.reshape(B, Tp * CPT, CH),
+        faces = _compact_faces(
+            meta, tof, starts, bins, B, Tp, CPT, compact, interpret
         )
         recs = _gather_recs(
             records, faces.reshape(B, compact * CH)[:, :, None]
         ).reshape(B, compact * CH, REC5_LANES)
+        ipg = _pick_ipg(
+            B, compact * CH * REC5_LANES * 4 + (3 + D) * Tp * P * 4,
+            smem_rows=2 * Tp,
+        )
         outs = pl.pallas_call(
             functools.partial(
                 _raster_kernel_v5c, H=H, W=W, TX=tx, D=D, T=Tp),
-            grid=(B,),
+            grid=(B // ipg,),
             in_specs=[
-                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
+                pl.BlockSpec((ipg * Tp, 1), lambda b: (b, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((Tp, 1), lambda b: (b, 0),
+                pl.BlockSpec((ipg * Tp, 1), lambda b: (b, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, compact * CH, REC5_LANES),
+                pl.BlockSpec((ipg, compact * CH, REC5_LANES),
                              lambda b: (b, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, Tp, P), lambda b: (b, 0, 0))] * (3 + D),
+                pl.BlockSpec((ipg, Tp, P), lambda b: (b, 0, 0))] * (3 + D),
             out_shape=out_shapes,
             interpret=interpret,
         )(starts.reshape(B * Tp, 1), ends.reshape(B * Tp, 1), recs)
@@ -2026,10 +2089,16 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
 
     p2f = to_image(outs[0])
     zbuf = to_image(outs[1])
-    p2slot = to_image(outs[2])
+    # slots stay TILE-MAJOR (B,Tp,P): the only consumer is the backward's
+    # segment reduce, which wants exactly this layout — keeping it skips an
+    # image_to_tiles round trip on a (B,H,W) int32 per backward pass.
+    # Pad-tile rows are all -1 (empty windows); pad pixels inside covered
+    # tiles may hold live slots, but their payload g is 0 (image_to_tiles
+    # zero-pads the cotangent), so they contribute nothing.
+    p2slot_tiles = outs[2]
     vals = jnp.stack([to_image(o) for o in outs[3:]], axis=-1)
     Tp8 = -(-T // 8) * 8  # see _v3_impl: backward works at the 8-padded count
-    return vals, p2f, zbuf, p2slot, bins[:, :Tp8]
+    return vals, p2f, zbuf, p2slot_tiles, bins[:, :Tp8]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -2073,9 +2142,8 @@ def _rpd_bwd(image_size, capacity, interpret, compact, res, cts):
     # The moments [g*x | g*y | g] are built inside the reduction kernel from
     # tile-local pixel coordinates (no (B,H,W,3D) moment image on HBM).
     g_t = image_to_tiles(g_vals, image_size)
-    slots_t = image_to_tiles(p2slot, image_size)
     per_slot = segment_reduce_moments(
-        slots_t, g_t, capacity, image_size, interpret
+        p2slot, g_t, capacity, image_size, interpret
     )
 
     plane_ct = fold_slots_to_faces(per_slot, bins, F)

@@ -33,9 +33,11 @@ class Renderer:
         bin_capacity: Optional[int] = None,
         use_pallas: Optional[bool] = None,
         raster_compact: Optional[int] = None,
+        bin_approx: Optional[float] = 0.95,
     ):
         self.image_size = image_size
         self.use_pallas = use_pallas
+        self.bin_approx = bin_approx
 
         faces = np.asarray(bundle["faces"], np.int64)
         if render_full_head:
@@ -179,6 +181,11 @@ class Renderer:
             capacity=self.bin_capacity,
             interpret=raster_lib.default_interpret(),
             compact=self.raster_compact or None,
+            # approximate top-k binning, TPU-native; measured bit-identical
+            # output at 16.2 -> 15.2 ms/batch64 (tools/tpu_approx_bin_bench
+            # .py). Inference only — the differentiable raster keeps exact
+            # top_k so training gradients are deterministic.
+            bin_approx=self.bin_approx,
         )
         mask = (pix_to_face >= 0)[..., None].astype(normal_img.dtype)
         shade = shading.directional_shading(normal_img)

@@ -251,6 +251,28 @@ def test_fused_merged_loop_matches_v4():
         np.testing.assert_array_equal(np.asarray(zb4), np.asarray(zb6))
 
 
+def test_bin_faces_approx_subset_of_exact():
+    """approx_max_k binning returns a subset of the exact tile membership
+    (it can only MISS overlapping faces, never invent them), with valid ids
+    and counts; the fused raster accepts it (bin_approx knob)."""
+    rng = np.random.default_rng(23)
+    fv = random_mesh(rng, F=120, B=2)
+    cap = 64  # < F so the selection is non-trivial
+    be, ce = R.bin_faces(fv, 32, cap)
+    ba, ca = R.bin_faces(fv, 32, cap, approx=0.95)
+    be, ba = np.asarray(be), np.asarray(ba)
+    assert (np.asarray(ca) <= cap).all()
+    for i in range(be.shape[0]):
+        for t in range(be.shape[1]):
+            exact = set(be[i, t][be[i, t] >= 0])
+            approx = set(ba[i, t][ba[i, t] >= 0])
+            assert approx <= exact
+    fn = jnp.asarray(rng.normal(0, 1, (2, 120, 3, 3)).astype(np.float32))
+    img, p2f, _ = R.rasterize_normals_fused(
+        fv, fn, 32, capacity=cap, interpret=True, bin_approx=0.95)
+    assert np.isfinite(np.asarray(img)).all()
+
+
 def test_fused_compact_matches_v4():
     """v7 (compact per-image chunk list + per-tile dynamic windows) is
     bit-identical to v4 when cmax covers the occupied chunks."""
