@@ -278,6 +278,7 @@ def bin_faces_hier(
     capacity: int,
     band_tiles: int = BAND_TILES,
     coarse_capacity: int = COARSE_CAPACITY,
+    approx: Optional[float] = None,
 ) -> jnp.ndarray:
     """Two-level binning with the same output contract as bin_faces_flat.
 
@@ -308,9 +309,23 @@ def bin_faces_hier(
     if keep is not None:
         ov_band = ov_band & keep[:, None, :]
     C1 = min(coarse_capacity, F)
-    key_c = ov_band.astype(jnp.int32) * prio_span - prio[:, None, :]
-    vals_c, cand = jax.lax.top_k(key_c, C1)  # (B,nb,C1) depth-sorted
-    valid_c = vals_c > 0
+    if approx is not None:
+        # approx_max_k dodges the exact top_k large-k slow path (42ms at
+        # k=1024) and still returns its survivors depth-sorted
+        # (aggregate_to_topk), which the fine stage's position-priority
+        # relies on.
+        key_cf = jnp.where(
+            ov_band, (prio_span - prio).astype(jnp.float32)[:, None, :],
+            -1.0,
+        )
+        vals_c, cand = jax.lax.approx_max_k(
+            key_cf, C1, recall_target=approx
+        )
+        valid_c = vals_c > 0
+    else:
+        key_c = ov_band.astype(jnp.int32) * prio_span - prio[:, None, :]
+        vals_c, cand = jax.lax.top_k(key_c, C1)  # (B,nb,C1) depth-sorted
+        valid_c = vals_c > 0
 
     def gather_bf(a):  # (B,F) -> (B,nb,C1)
         return jnp.take_along_axis(
@@ -338,9 +353,15 @@ def bin_faces_hier(
     )  # (B,nb,band_tiles,tx,C1)
 
     pos = jnp.arange(C1, dtype=jnp.int32)
-    key_f = ov.astype(jnp.int32) * (C1 + 1) - pos  # pos 0 non-overlap -> 0
     k = min(capacity, C1)
-    vals_f, idx_f = jax.lax.top_k(key_f, k)  # (B,nb,band_tiles,tx,k)
+    if approx is not None:
+        key_ff = jnp.where(ov, (C1 - pos).astype(jnp.float32), -1.0)
+        vals_f, idx_f = jax.lax.approx_max_k(
+            key_ff, k, recall_target=approx
+        )
+    else:
+        key_f = ov.astype(jnp.int32) * (C1 + 1) - pos  # non-overlap -> 0
+        vals_f, idx_f = jax.lax.top_k(key_f, k)  # (B,nb,band_tiles,tx,k)
     valid_f = vals_f > 0
     ids = jnp.take_along_axis(
         jnp.broadcast_to(
@@ -357,12 +378,13 @@ def bin_faces_hier(
     return _pad_bins(bins, counts, capacity, k, T)
 
 
-# Module-level default. MEASURED NEGATIVE (tools/tpu_bin_bench.py, v5e-1,
-# B=64 F=3408 cap=384): hier 42.4ms vs flat 7.2ms standalone — the coarse
-# k=1024 top_k hits a slow path — and the fused render is binning-
-# insensitive (24.3 vs 24.4ms), so flat stays the default. The hier path is
-# kept (output-identical, tested) as the starting point if binning ever
-# reappears on a profile.
+# Module-level default. MEASURED NEGATIVE twice (v5e-1, B=64 F=3408
+# cap=384): exact hier 42.4ms vs flat 7.2ms standalone (coarse k=1024
+# top_k slow path, tools/tpu_bin_bench.py); approx_max_k hier 71.9ms vs
+# flat-approx 15.2ms in-context AND 2.5% p2f disagreement (the 5-D fine
+# approx both misses and crawls, tools/tpu_hier_approx_bench.py). Flat
+# (+ approx_max_k on the inference path) stays the default; the hier path
+# is kept (exact variant output-identical, tested) for reference.
 _BIN_HIER = False
 
 # Recall target for jax.lax.approx_max_k binning (None = exact top_k).
@@ -385,7 +407,8 @@ def bin_faces(
     # hierarchy only pays off when the coarse list is a real reduction and
     # there is more than one band of tiles
     if _BIN_HIER and F > 2 * COARSE_CAPACITY and ty > BAND_TILES:
-        return bin_faces_hier(face_verts, image_size, capacity)
+        return bin_faces_hier(face_verts, image_size, capacity,
+                              approx=approx)
     return bin_faces_flat(face_verts, image_size, capacity, approx)
 
 

@@ -540,6 +540,22 @@ def test_hierarchical_binning_matches_flat():
     assert (cf == ch).all() and (bf == bh).all()
 
 
+def test_hierarchical_binning_approx_subset():
+    """Hier binning with approx stages yields a subset of the exact hier
+    membership per tile (approx can only miss faces, never invent)."""
+    rng = np.random.default_rng(3)
+    fv = _facelike_scene(rng)
+    be, _ = R.bin_faces_hier(fv, 224, 384)
+    ba, ca = R.bin_faces_hier(fv, 224, 384, approx=0.95)
+    be, ba = np.asarray(be), np.asarray(ba)
+    assert (np.asarray(ca) <= 384).all()
+    for i in range(be.shape[0]):
+        for t in range(be.shape[1]):
+            exact = set(be[i, t][be[i, t] >= 0])
+            approx = set(ba[i, t][ba[i, t] >= 0])
+            assert approx <= exact
+
+
 def test_bin_faces_dispatcher_small_f_uses_flat():
     """Below the hierarchy's payoff threshold the dispatcher must fall back
     to flat binning (F <= 2*COARSE_CAPACITY or a single band of tiles)."""
