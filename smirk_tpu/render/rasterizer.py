@@ -24,6 +24,7 @@ the identity here.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -1083,14 +1084,20 @@ def _compact_faces_kernel(meta_ref, tof_ref, starts_ref, bins_ref, out_ref,
 
 
 def _pick_ipg(B: int, per_image_bytes: int, smem_rows: int = 0) -> int:
-    """Images per grid step for the compact kernels (amortizes the ~45us
-    Mosaic per-step overhead), bounded by a ~5MB single-buffer VMEM budget
-    (blocks are double-buffered into the ~16MB of VMEM) and by SMEM:
-    each (N,1) scalar-window row costs 512B double-buffered against the
-    ~1MB scalar memory (measured: an s32[1728,1] window allocates
-    1.73MB and fails to compile)."""
+    """Images per grid step for the compact kernels. DEFAULT 1: ipg=2 was
+    measured perf-NEUTRAL (the per-step overhead is already pipelined at
+    B-step grids, tools/tpu_ipg_bench.py) and the doubled kernel unroll
+    pushed several train-step programs over the remote Mosaic compile
+    helper's limit (reproducible HTTP 500s, tools/tpu_step_bisect3.py).
+    SMIRK_RASTER_IPG>1 re-enables for experiments, bounded by a ~5MB
+    single-buffer VMEM budget (blocks are double-buffered into ~16MB)
+    and by SMEM: each (N,1) scalar-window row costs 512B double-buffered
+    against the ~1MB scalar memory (measured: an s32[1728,1] window
+    allocates 1.73MB and fails to compile)."""
+    cap = int(os.environ.get("SMIRK_RASTER_IPG", "1"))
     for ipg in (8, 4, 2, 1):
-        if (B % ipg == 0
+        if (ipg <= cap
+                and B % ipg == 0
                 and ipg * per_image_bytes <= 5 * 1024 * 1024
                 and ipg * smem_rows * 512 * 2 <= 768 * 1024):
             return ipg

@@ -164,7 +164,13 @@ class Renderer:
     def render_inference(self, vertices, transformed_vertices):
         """Gather-free inference render via the fused Pallas kernel
         (coverage + normal-plane evaluation in one pass). Non-differentiable;
-        numerically equivalent to `render` up to fp ordering."""
+        numerically equivalent to `render` up to fp ordering. Inputs are
+        stop-gradiented so the kernel can sit inside a differentiated
+        program (e.g. the pretrain step's viz-only render) — without this,
+        linearization fails on the vjp-less pallas_call even when nothing
+        consumes the render's gradient."""
+        vertices = jax.lax.stop_gradient(vertices)
+        transformed_vertices = jax.lax.stop_gradient(transformed_vertices)
         B = vertices.shape[0]
         sub_v = vertices[:, self._kept]
         sub_tv = jnp.concatenate(

@@ -226,6 +226,12 @@ class SmirkSystem:
                 "landmarks_fan": flame_out["landmarks_fan"],
                 "landmarks_mp": flame_out["landmarks_mp"],
             },
+            # Pretrain (no generator, config_pretrain.yaml:49) has no
+            # image-space loss — the render is viz-only, so use the fused
+            # non-differentiable kernel. (Also: the differentiable raster
+            # with fully-unused gradients reproducibly crashes this
+            # toolchain's remote Mosaic compile, tools/tpu_step_bisect3.py.)
+            inference=self.generator is None,
         )
 
         losses = {}

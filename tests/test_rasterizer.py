@@ -290,6 +290,24 @@ def test_fused_compact_matches_v4():
     np.testing.assert_array_equal(np.asarray(zb4), np.asarray(zb7))
 
 
+def test_fused_compact_multi_image_grid_step(monkeypatch):
+    """SMIRK_RASTER_IPG=2 (two images per grid step) stays bit-identical
+    to the default single-image grid (kept for experiments; default 1)."""
+    rng = np.random.default_rng(13)
+    fv = random_mesh(rng, F=50, B=2)
+    fn = jnp.asarray(rng.normal(0, 1, (2, 50, 3, 3)).astype(np.float32))
+    img1, p2f1, zb1 = R.rasterize_normals_fused(
+        fv, fn, 32, capacity=64, interpret=True, compact=24)
+    monkeypatch.setenv("SMIRK_RASTER_IPG", "2")
+    R.rasterize_normals_fused.clear_cache()
+    img2, p2f2, zb2 = R.rasterize_normals_fused(
+        fv, fn, 32, capacity=64, interpret=True, compact=24)
+    R.rasterize_normals_fused.clear_cache()
+    np.testing.assert_array_equal(np.asarray(p2f1), np.asarray(p2f2))
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    np.testing.assert_array_equal(np.asarray(zb1), np.asarray(zb2))
+
+
 def test_fused_compact_truncation_degrades_gracefully():
     """cmax below the occupied chunk count drops trailing tiles' faces but
     never crashes or corrupts other tiles."""

@@ -387,3 +387,37 @@ def test_train_step_bf16_compute(tiny_system):
         leaf.dtype == np.float32
         for leaf in jax.tree_util.tree_leaves(new.encoder)
     )
+
+
+def test_train_step_no_generator_pretrain_shape(tiny_system):
+    """The pretrain recipe (enable_fuse_generator=False,
+    configs/config_pretrain.yaml:49 in the reference) must train: path 1
+    only, encoder-only optimizer, no generator state, finite losses."""
+    system, _ = tiny_system
+    cfg = dataclasses.replace(
+        system.config,
+        arch=dataclasses.replace(
+            system.config.arch, enable_fuse_generator=False),
+        train=dataclasses.replace(
+            system.config.train,
+            loss_weights=dataclasses.replace(
+                system.config.train.loss_weights,
+                cycle_loss=0.0, perceptual_vgg_loss=0.0)),
+    )
+    sys2 = SmirkSystem(
+        cfg, assets.load_all(), steps_per_epoch=10, use_pallas=False,
+    )
+    state = sys2.init_state(jax.random.PRNGKey(1))
+    assert state.generator is None
+    rng = np.random.default_rng(7)
+    batch = make_batch(rng)
+    new, metrics, _ = sys2.train_step(state, batch, jax.random.PRNGKey(2),
+                                      parity=0)
+    assert new.generator is None
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # encoder params actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state.encoder["params"], new.encoder["params"])
+    assert max(jax.tree_util.tree_leaves(moved)) > 0

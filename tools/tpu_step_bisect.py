@@ -85,32 +85,40 @@ def main():
             log(f"{tag} FAILED {type(e).__name__}: {str(e)[:200]}")
             return None
 
+    # NOTE: operands must be jit ARGUMENTS — zero-arg closures bake the
+    # weights in as HLO constants and crash the remote compile helper.
+    be = state.base_encoder
+
     # loss1 forward only
-    f_l1 = jax.jit(lambda: system._loss1(
-        ep, gp, es, gs, batch, k1, True, state.base_encoder)[1])
-    aux1 = timed("loss1_fwd", f_l1)
+    f_l1 = jax.jit(lambda ep, gp, es, gs, batch, k1, be: system._loss1(
+        ep, gp, es, gs, batch, k1, True, be)[1])
+    aux1 = timed("loss1_fwd", f_l1, ep, gp, es, gs, batch, k1, be)
 
     # loss1 fwd+bwd
-    g_l1 = jax.jit(lambda: jax.value_and_grad(
-        system._loss1, argnums=(0, 1), has_aux=True)(
-        ep, gp, es, gs, batch, k1, True, state.base_encoder))
-    timed("loss1_grad", g_l1)
+    g_l1 = jax.jit(
+        lambda ep, gp, es, gs, batch, k1, be: jax.value_and_grad(
+            system._loss1, argnums=(0, 1), has_aux=True)(
+            ep, gp, es, gs, batch, k1, True, be))
+    timed("loss1_grad", g_l1, ep, gp, es, gs, batch, k1, be)
 
     enc_out = aux1["encoder_output"]
     tv = aux1["transformed_vertices"]
 
     # loss2 forward only
-    f_l2 = jax.jit(lambda: system._loss2(
-        ep, gp, es, gs, batch, enc_out, tv, k2, True, False)[0])
-    timed("loss2_fwd", f_l2)
+    f_l2 = jax.jit(
+        lambda ep, gp, es, gs, batch, enc_out, tv, k2: system._loss2(
+            ep, gp, es, gs, batch, enc_out, tv, k2, True, False)[0])
+    timed("loss2_fwd", f_l2, ep, gp, es, gs, batch, enc_out, tv, k2)
 
     # loss2 fwd+bwd, both freeze parities
     for fe, fg, tag in ((True, False, "loss2_grad_genTrains"),
                         (False, True, "loss2_grad_encTrains")):
-        g_l2 = jax.jit(lambda fe=fe, fg=fg: jax.value_and_grad(
-            system._loss2, argnums=(0, 1), has_aux=True)(
-            ep, gp, es, gs, batch, enc_out, tv, k2, fe, fg))
-        timed(tag, g_l2)
+        g_l2 = jax.jit(
+            lambda ep, gp, es, gs, batch, enc_out, tv, k2, fe=fe, fg=fg:
+            jax.value_and_grad(
+                system._loss2, argnums=(0, 1), has_aux=True)(
+                ep, gp, es, gs, batch, enc_out, tv, k2, fe, fg))
+        timed(tag, g_l2, ep, gp, es, gs, batch, enc_out, tv, k2)
 
     # batch-64 bf16 throughput refresh
     cfg64 = dataclasses.replace(
