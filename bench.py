@@ -9,6 +9,8 @@ single jitted batched program on one chip, and prints ONE JSON line:
 Baseline: BASELINE.json north star >= 500 fps/chip on TPU v5e.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -80,5 +82,38 @@ def main():
     )
 
 
+def _run_with_retries():
+    """The remote TPU worker flakes (compile-helper HTTP 500s; worker
+    restarts after a crash can take minutes, during which device init
+    hangs). Run the measurement in child processes — a dead worker
+    poisons the jax client for the whole process — with bounded retries,
+    forwarding the child's final JSON line."""
+    attempts = int(os.environ.get("SMIRK_BENCH_ATTEMPTS", "3"))
+    env = dict(os.environ, SMIRK_BENCH_INNER="1")
+    last = ""
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+            for line in reversed(proc.stdout.splitlines()):
+                if line.startswith("{"):
+                    print(line)
+                    return 0
+            last = (proc.stderr or proc.stdout)[-400:]
+        except subprocess.TimeoutExpired:
+            last = "timeout (worker unresponsive)"
+        print(f"bench attempt {i + 1}/{attempts} failed: {last}",
+              file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(180)
+    print(f"bench failed after {attempts} attempts: {last}", file=sys.stderr)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SMIRK_BENCH_INNER"):
+        main()
+    else:
+        sys.exit(_run_with_retries())

@@ -79,13 +79,61 @@ def main(argv=None):
         # refresh the frozen base copy after loading (reference train.py:43)
         state = state.replace(base_encoder=jax.tree_util.tree_map(
             lambda x: x, state.encoder))
+    start_epoch = config.train.resume_epoch
+    if config.resume_state:
+        # exact restart-based recovery: full TrainState (params + BN stats +
+        # optimizer moments + step); intra-epoch steps past the checkpoint
+        # replay (data is sampled with replacement; schedules key off step)
+        state = ckpt.restore_state(state, config.resume_state)
+        start_epoch = int(np.asarray(state.step)) // max(1, steps_per_epoch)
+        print(f"[resume] {config.resume_state} step={int(np.asarray(state.step))}"
+              f" -> epoch {start_epoch}")
 
     mesh = parallel.make_mesh()
     state = parallel.replicate(state, mesh)
     logger = MetricLogger(log_path, config.train.log_losses_every)
     rng = jax.random.PRNGKey(1)
+    last_state_path = os.path.join(log_path, "last_state.npz")
+    ckpt_every = config.train.ckpt_every_steps
+    # fault-injection hook for restart-recovery tests: raise after the
+    # cumulative train-step counter reaches N (fires once — resumed runs
+    # start past it)
+    fault_at = int(os.environ.get("SMIRK_FAULT_INJECT_STEP", "0"))
+    global_step = int(np.asarray(state.step))
 
-    for epoch in range(config.train.resume_epoch, config.train.num_epochs):
+    try:
+        _run_epochs(
+            config, system, state, train_loader, val_loader, mesh, logger,
+            rng, ckpt, viz, log_path, start_epoch, global_step, ckpt_every,
+            fault_at, last_state_path,
+        )
+    except Exception:
+        # best-effort salvage for restart-based recovery (worker crashes
+        # surface at the first D2H after the failed step). save_state is
+        # atomic (tmp + rename): a state poisoned by a dead device client
+        # cannot clobber the previous good checkpoint.
+        try:
+            ckpt.save_state(_LAST_STATE[0], last_state_path)
+            print(f"[crash] salvaged {last_state_path}", file=sys.stderr)
+        except Exception as salvage_err:  # noqa: BLE001
+            print(f"[crash] state not salvageable: {salvage_err}",
+                  file=sys.stderr)
+        raise
+    logger.close()
+    ckpt.finalize()  # block on pending async orbax saves
+
+
+_LAST_STATE = [None]  # most recent TrainState, for crash salvage
+
+
+def _run_epochs(config, system, state, train_loader, val_loader, mesh,
+                logger, rng, ckpt, viz, log_path, start_epoch, global_step,
+                ckpt_every, fault_at, last_state_path):
+    import jax
+
+    from smirk_tpu import parallel
+
+    for epoch in range(start_epoch, config.train.num_epochs):
         for phase, loader in (("train", train_loader), ("val", val_loader)):
             if loader is None:
                 continue
@@ -97,6 +145,15 @@ def main(argv=None):
                     state, metrics, aux = system.train_step(
                         state, batch, rng, parity=batch_idx
                     )
+                    _LAST_STATE[0] = state
+                    global_step += 1
+                    if ckpt_every and global_step % ckpt_every == 0:
+                        # block so a later crash can't lose this step
+                        jax.block_until_ready(state.step)
+                        ckpt.save_state(state, last_state_path)
+                    if fault_at and global_step == fault_at:
+                        raise RuntimeError(
+                            f"SMIRK_FAULT_INJECT_STEP={fault_at}")
                 else:
                     state, metrics, aux = system.eval_step(state, batch, rng)
                 logger.log(batch_idx, metrics, phase)
@@ -112,8 +169,6 @@ def main(argv=None):
         if epoch % config.train.save_every == 0:
             ckpt.save_model(state, os.path.join(log_path, f"model_{epoch}.npz"))
             ckpt.save_state(state, os.path.join(log_path, "last_state.npz"))
-    logger.close()
-    ckpt.finalize()  # block on pending async orbax saves
 
 
 def _np_or_none(x):

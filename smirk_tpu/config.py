@@ -42,6 +42,10 @@ class TrainConfig:
     mask_ratio_mul: float = 5.0
     mask_dilation_radius: int = 10
     save_every: int = 2
+    # full-TrainState checkpoint every N train steps (0 = epoch-end only).
+    # Bounds lost work under worker crashes; restart-based recovery
+    # (SURVEY §5) via tools/train_supervisor.py + resume_state.
+    ckpt_every_steps: int = 0
     use_wandb: bool = False
     Ke: int = 1
     samples_per_epoch: int = 50000
@@ -108,6 +112,10 @@ class DatasetConfig:
 @dataclass(frozen=True)
 class Config:
     resume: str = ""
+    # full-TrainState resume (params + BN stats + optimizer moments + step),
+    # written by train.ckpt_every_steps / epoch-end last_state.npz. Exact
+    # continuation; intra-epoch progress past the checkpoint replays.
+    resume_state: str = ""
     load_encoder: bool = True
     load_fuse_generator: bool = True
     device: str = ""  # unused on TPU (jax manages devices); kept for schema

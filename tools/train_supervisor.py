@@ -1,0 +1,79 @@
+"""Restart-based recovery supervisor for train.py (SURVEY §5 failure
+detection / elastic recovery; the reference has none).
+
+Runs the training CLI as a child process; on a nonzero exit it relaunches
+with `resume_state=<log_path>/last_state.npz` (the full-TrainState
+checkpoint the CLI writes at `train.ckpt_every_steps` cadence, at epoch
+ends, and best-effort on crash), with bounded retries and backoff. Pair
+with `train.ckpt_every_steps` so a remote-worker crash loses at most N
+steps.
+
+Usage:
+  python tools/train_supervisor.py [--max-restarts N] [--backoff SEC] \
+      <train.py args...>
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _extract_log_path(args) -> str:
+    for a in args:
+        if a.startswith("train.log_path="):
+            return a.split("=", 1)[1]
+    return "logs/1"
+
+
+def supervise(cmd, log_path: str, max_restarts: int = 10,
+              backoff: float = 120.0, env=None) -> int:
+    """Run `cmd` (argv list); relaunch with resume_state on failure.
+    Returns the final exit code (0 on eventual success)."""
+    resume = os.path.join(log_path, "last_state.npz")
+    attempt = 0
+    while True:
+        argv = list(cmd)
+        # resume whenever a checkpoint exists (also on the first attempt:
+        # relaunching the supervisor after its own death must be idempotent)
+        if os.path.exists(resume):
+            argv.append(f"resume_state={resume}")
+        print(f"[supervisor] launch attempt {attempt}: {' '.join(argv[-3:])}",
+              flush=True)
+        rc = subprocess.call(argv, env=env)
+        if rc == 0:
+            print("[supervisor] training completed", flush=True)
+            return 0
+        attempt += 1
+        if attempt > max_restarts:
+            print(f"[supervisor] giving up after {max_restarts} restarts "
+                  f"(last rc={rc})", flush=True)
+            return rc
+        has_ckpt = os.path.exists(resume)
+        print(f"[supervisor] child failed rc={rc}; "
+              f"{'resuming from ' + resume if has_ckpt else 'no checkpoint; cold restart'}"
+              f" in {backoff:.0f}s", flush=True)
+        time.sleep(backoff)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    max_restarts = 10
+    backoff = 120.0
+    if "--max-restarts" in argv:
+        i = argv.index("--max-restarts")
+        max_restarts = int(argv[i + 1])
+        del argv[i:i + 2]
+    if "--backoff" in argv:
+        i = argv.index("--backoff")
+        backoff = float(argv[i + 1])
+        del argv[i:i + 2]
+    cmd = [sys.executable, os.path.join(REPO, "train.py")] + argv
+    sys.exit(supervise(cmd, _extract_log_path(argv), max_restarts, backoff))
+
+
+if __name__ == "__main__":
+    main()
