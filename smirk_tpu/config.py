@@ -46,6 +46,10 @@ class TrainConfig:
     # Bounds lost work under worker crashes; restart-based recovery
     # (SURVEY §5) via tools/train_supervisor.py + resume_state.
     ckpt_every_steps: int = 0
+    # "fused" = both training paths in one jitted program (fewest
+    # dispatches); "split" = path 1 and the cycle path as two smaller
+    # programs, identical math (SMIRK_STEP_MODE env overrides)
+    step_mode: str = "fused"
     use_wandb: bool = False
     Ke: int = 1
     samples_per_epoch: int = 50000

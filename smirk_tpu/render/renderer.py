@@ -10,6 +10,7 @@ Differences by design:
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -74,6 +75,10 @@ class Renderer:
             bin_capacity = min(-(-F // 32) * 32, need)
         self.bin_capacity = bin_capacity
 
+        if raster_compact is None and os.environ.get("SMIRK_RASTER_COMPACT"):
+            # experiment/mitigation override without config plumbing
+            # (0 = padded per-tile kernels)
+            raster_compact = int(os.environ["SMIRK_RASTER_COMPACT"])
         if raster_compact is None:
             # auto: compact chunk budget = 1.5 face-chunks per face + one
             # rounding chunk per tile, clamped to [96, worst case]. Occupied

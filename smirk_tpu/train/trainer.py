@@ -23,6 +23,7 @@ when None their losses are 0 (matching configs with zero weights).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional
 
 import flax.struct
@@ -150,6 +151,10 @@ class SmirkSystem:
         self._train_step = jax.jit(
             self._step_impl, static_argnames=("parity", "train")
         )
+        self.step_mode = os.environ.get(
+            "SMIRK_STEP_MODE", c.train.step_mode)
+        self._split1 = jax.jit(self._split1_impl, static_argnames=("final",))
+        self._split2 = jax.jit(self._split2_impl, static_argnames=("parity",))
 
     # ---------------------------- state setup ----------------------------
 
@@ -553,22 +558,12 @@ class SmirkSystem:
 
     # ------------------------------ full step ------------------------------
 
-    def _step_impl(self, state: TrainState, batch, rng, parity: int,
-                   train: bool):
-        c = self.config
-        rng1, rng2 = jax.random.split(jax.random.fold_in(rng, state.step))
+    def _phase1(self, state: TrainState, batch, rng1):
+        """Path-1 grad + updates -> (mid-state fields dict, metrics, aux1)."""
         enc_params = state.encoder["params"]
         enc_stats = state.encoder["batch_stats"]
         gen_params = state.generator["params"] if state.generator else None
         gen_stats = state.generator["batch_stats"] if state.generator else None
-
-        if not train:
-            _, aux1 = self._loss1(
-                enc_params, gen_params, enc_stats, gen_stats, batch, rng1,
-                train=False, base_encoder=state.base_encoder,
-            )
-            metrics = dict(aux1["losses"])
-            return state, metrics, aux1
 
         (loss1, aux1), grads = jax.value_and_grad(
             self._loss1, argnums=(0, 1), has_aux=True
@@ -590,56 +585,127 @@ class SmirkSystem:
 
         metrics = dict(aux1["losses"])
         metrics["loss_first_path"] = loss1
+        mid = dict(enc_params=enc_params, enc_stats=enc_stats,
+                   gen_params=gen_params, gen_stats=gen_stats,
+                   enc_opt=enc_opt, gen_opt=gen_opt)
+        return mid, metrics, aux1
 
-        if (
-            c.train.loss_weights.cycle_loss > 0
-            and self.generator is not None
-        ):
-            freeze_encoder = parity % 2 == 0  # base_trainer.py:267
-            freeze_generator = not freeze_encoder
+    def _phase2(self, mid, batch, enc_out, trans_verts, rng2, parity: int):
+        """Cycle-path grad + updates on the phase-1-updated params."""
+        freeze_encoder = parity % 2 == 0  # base_trainer.py:267
+        freeze_generator = not freeze_encoder
+        enc_params, gen_params = mid["enc_params"], mid["gen_params"]
+        enc_opt, gen_opt = mid["enc_opt"], mid["gen_opt"]
 
-            (loss2, aux2), grads2 = jax.value_and_grad(
-                self._loss2, argnums=(0, 1), has_aux=True
-            )(
-                enc_params, gen_params, enc_stats, gen_stats, batch,
-                aux1["encoder_output"], aux1["transformed_vertices"], rng2,
-                freeze_encoder, freeze_generator,
+        (loss2, aux2), grads2 = jax.value_and_grad(
+            self._loss2, argnums=(0, 1), has_aux=True
+        )(
+            enc_params, gen_params, mid["enc_stats"], mid["gen_stats"],
+            batch, enc_out, trans_verts, rng2,
+            freeze_encoder, freeze_generator,
+        )
+
+        if not freeze_encoder:
+            enc_updates, enc_opt = self.enc_tx.update(
+                grads2[0], enc_opt, enc_params
             )
-            enc_stats = aux2["enc_stats"]
-            gen_stats = aux2["gen_stats"]
+            enc_params = optax.apply_updates(enc_params, enc_updates)
+        if not freeze_generator:
+            # generator grad clip 0.1 (smirk_trainer.py:377-379)
+            g = grads2[1]
+            gnorm = optax.global_norm(g)
+            scale = jnp.minimum(1.0, 0.1 / jnp.maximum(gnorm, 1e-12))
+            g = jax.tree_util.tree_map(lambda t: t * scale, g)
+            gen_updates, gen_opt = self.gen_tx.update(g, gen_opt, gen_params)
+            gen_params = optax.apply_updates(gen_params, gen_updates)
 
-            if not freeze_encoder:
-                enc_updates, enc_opt = self.enc_tx.update(
-                    grads2[0], enc_opt, enc_params
-                )
-                enc_params = optax.apply_updates(enc_params, enc_updates)
-            if not freeze_generator:
-                # generator grad clip 0.1 (smirk_trainer.py:377-379)
-                g = grads2[1]
-                gnorm = optax.global_norm(g)
-                scale = jnp.minimum(1.0, 0.1 / jnp.maximum(gnorm, 1e-12))
-                g = jax.tree_util.tree_map(lambda t: t * scale, g)
-                gen_updates, gen_opt = self.gen_tx.update(g, gen_opt, gen_params)
-                gen_params = optax.apply_updates(gen_params, gen_updates)
-            metrics.update(aux2["losses"])
-            metrics["loss_second_path"] = loss2
-            aux1 = dict(aux1)
-            aux1["second_path"] = aux2["viz"]
+        metrics2 = dict(aux2["losses"])
+        metrics2["loss_second_path"] = loss2
+        mid = dict(enc_params=enc_params, enc_stats=aux2["enc_stats"],
+                   gen_params=gen_params, gen_stats=aux2["gen_stats"],
+                   enc_opt=enc_opt, gen_opt=gen_opt)
+        return mid, metrics2, aux2["viz"]
 
-        new_state = state.replace(
-            step=state.step + 1,
-            encoder={"params": enc_params, "batch_stats": enc_stats},
+    def _mid_to_state(self, state: TrainState, mid, bump_step: bool):
+        return state.replace(
+            step=state.step + (1 if bump_step else 0),
+            encoder={"params": mid["enc_params"],
+                     "batch_stats": mid["enc_stats"]},
             generator=(
-                {"params": gen_params, "batch_stats": gen_stats}
+                {"params": mid["gen_params"], "batch_stats": mid["gen_stats"]}
                 if self.generator is not None
                 else None
             ),
-            enc_opt=enc_opt,
-            gen_opt=gen_opt,
+            enc_opt=mid["enc_opt"],
+            gen_opt=mid["gen_opt"],
         )
-        return new_state, metrics, aux1
+
+    def _cycle_enabled(self) -> bool:
+        return (self.config.train.loss_weights.cycle_loss > 0
+                and self.generator is not None)
+
+    def _step_impl(self, state: TrainState, batch, rng, parity: int,
+                   train: bool):
+        rng1, rng2 = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        if not train:
+            _, aux1 = self._loss1(
+                state.encoder["params"],
+                state.generator["params"] if state.generator else None,
+                state.encoder["batch_stats"],
+                state.generator["batch_stats"] if state.generator else None,
+                batch, rng1, train=False, base_encoder=state.base_encoder,
+            )
+            metrics = dict(aux1["losses"])
+            return state, metrics, aux1
+
+        mid, metrics, aux1 = self._phase1(state, batch, rng1)
+        if self._cycle_enabled():
+            mid, metrics2, viz2 = self._phase2(
+                mid, batch, aux1["encoder_output"],
+                aux1["transformed_vertices"], rng2, parity,
+            )
+            metrics.update(metrics2)
+            aux1 = dict(aux1)
+            aux1["second_path"] = viz2
+        return self._mid_to_state(state, mid, bump_step=True), metrics, aux1
+
+    # Split-step mode (train.step_mode="split"): path 1 and the cycle path
+    # as TWO smaller jitted programs with identical math — same rng
+    # derivation (both fold in the pre-increment state.step), same update
+    # order. Smaller programs compile faster on the remote Mosaic helper
+    # and bound per-program device resources.
+    def _split1_impl(self, state: TrainState, batch, rng, final: bool):
+        rng1, _ = jax.random.split(jax.random.fold_in(rng, state.step))
+        mid, metrics, aux1 = self._phase1(state, batch, rng1)
+        return self._mid_to_state(state, mid, bump_step=final), metrics, aux1
+
+    def _split2_impl(self, state: TrainState, batch, enc_out, trans_verts,
+                     rng, parity: int):
+        _, rng2 = jax.random.split(jax.random.fold_in(rng, state.step))
+        mid = dict(enc_params=state.encoder["params"],
+                   enc_stats=state.encoder["batch_stats"],
+                   gen_params=state.generator["params"],
+                   gen_stats=state.generator["batch_stats"],
+                   enc_opt=state.enc_opt, gen_opt=state.gen_opt)
+        mid, metrics2, viz2 = self._phase2(
+            mid, batch, enc_out, trans_verts, rng2, parity
+        )
+        return self._mid_to_state(state, mid, bump_step=True), metrics2, viz2
 
     def train_step(self, state, batch, rng, parity: int):
+        if self.step_mode == "split":
+            cycle = self._cycle_enabled()
+            state, metrics, aux1 = self._split1(
+                state, batch, rng, final=not cycle)
+            if cycle:
+                state, metrics2, viz2 = self._split2(
+                    state, batch, aux1["encoder_output"],
+                    aux1["transformed_vertices"], rng, parity=parity % 2)
+                metrics = {**metrics, **metrics2}
+                aux1 = dict(aux1)
+                aux1["second_path"] = viz2
+            return state, metrics, aux1
         return self._train_step(state, batch, rng, parity=parity % 2, train=True)
 
     def eval_step(self, state, batch, rng):

@@ -421,3 +421,34 @@ def test_train_step_no_generator_pretrain_shape(tiny_system):
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         state.encoder["params"], new.encoder["params"])
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_split_step_mode_matches_fused(tiny_system):
+    """train.step_mode="split" (two jitted programs) must reproduce the
+    fused single-program step exactly: same rng folds, same update order."""
+    system, state = tiny_system
+    rng = jax.random.PRNGKey(7)
+    batch = make_batch(np.random.default_rng(3))
+
+    for parity in (0, 1):
+        fused_state, fused_metrics, fused_aux = system.train_step(
+            state, batch, rng, parity=parity)
+        system.step_mode = "split"
+        try:
+            split_state, split_metrics, split_aux = system.train_step(
+                state, batch, rng, parity=parity)
+        finally:
+            system.step_mode = "fused"
+
+        assert set(fused_metrics) == set(split_metrics)
+        for k in fused_metrics:
+            np.testing.assert_allclose(
+                float(fused_metrics[k]), float(split_metrics[k]),
+                rtol=1e-5, atol=1e-6, err_msg=f"parity {parity} metric {k}")
+        fa = jax.tree_util.tree_leaves(fused_state)
+        sa = jax.tree_util.tree_leaves(split_state)
+        assert len(fa) == len(sa)
+        for x, y in zip(fa, sa):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
+        assert "second_path" in split_aux
