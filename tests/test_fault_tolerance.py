@@ -119,3 +119,20 @@ def test_resume_state_restores_exactly(tmp_path):
     a = jax.tree_util.tree_leaves(state.encoder)[0]
     b = jax.tree_util.tree_leaves(restored.encoder)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_supervisor_escalates_to_split_mode(tmp_path):
+    """From the second restart on, the supervisor sets
+    SMIRK_STEP_MODE=split (the measured mitigation for fused-program
+    worker crashes)."""
+    from tools.train_supervisor import supervise
+
+    log = str(tmp_path)
+    probe = (
+        "import os, sys\n"
+        "sys.exit(0 if os.environ.get('SMIRK_STEP_MODE') == 'split' else 1)\n"
+    )
+    cmd = [sys.executable, "-c", probe]
+    rc = supervise(cmd, log, max_restarts=3, backoff=0.01,
+                   env={"PATH": os.environ.get("PATH", "")})
+    assert rc == 0

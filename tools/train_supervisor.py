@@ -32,6 +32,9 @@ def _extract_log_path(args) -> str:
 def supervise(cmd, log_path: str, max_restarts: int = 10,
               backoff: float = 120.0, env=None) -> int:
     """Run `cmd` (argv list); relaunch with resume_state on failure.
+    From the second restart on, escalates to SMIRK_STEP_MODE=split (two
+    smaller jitted programs, identical math) — the measured mitigation for
+    remote-worker crashes on the largest fused train-step programs.
     Returns the final exit code (0 on eventual success)."""
     resume = os.path.join(log_path, "last_state.npz")
     attempt = 0
@@ -41,9 +44,13 @@ def supervise(cmd, log_path: str, max_restarts: int = 10,
         # relaunching the supervisor after its own death must be idempotent)
         if os.path.exists(resume):
             argv.append(f"resume_state={resume}")
-        print(f"[supervisor] launch attempt {attempt}: {' '.join(argv[-3:])}",
-              flush=True)
-        rc = subprocess.call(argv, env=env)
+        run_env = dict(env if env is not None else os.environ)
+        if attempt >= 2:
+            run_env.setdefault("SMIRK_STEP_MODE", "split")
+        print(f"[supervisor] launch attempt {attempt}"
+              f"{' (split-step)' if run_env.get('SMIRK_STEP_MODE') == 'split' else ''}"
+              f": {' '.join(argv[-3:])}", flush=True)
+        rc = subprocess.call(argv, env=run_env)
         if rc == 0:
             print("[supervisor] training completed", flush=True)
             return 0
