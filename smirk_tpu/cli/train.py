@@ -118,6 +118,11 @@ def main(argv=None):
         except Exception as salvage_err:  # noqa: BLE001
             print(f"[crash] state not salvageable: {salvage_err}",
                   file=sys.stderr)
+        print(
+            "[crash] recovery: tools/train_supervisor.py relaunches with "
+            f"resume_state={last_state_path} and escalates to "
+            "SMIRK_STEP_MODE=split (see PARITY.md: fused-program worker "
+            "crashes)", file=sys.stderr)
         raise
     logger.close()
     ckpt.finalize()  # block on pending async orbax saves

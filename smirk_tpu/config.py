@@ -46,10 +46,12 @@ class TrainConfig:
     # Bounds lost work under worker crashes; restart-based recovery
     # (SURVEY §5) via tools/train_supervisor.py + resume_state.
     ckpt_every_steps: int = 0
-    # "fused" = both training paths in one jitted program (fewest
-    # dispatches); "split" = path 1 and the cycle path as two smaller
-    # programs, identical math (SMIRK_STEP_MODE env overrides)
-    step_mode: str = "fused"
+    # "split" (default) = path 1 and the cycle path as two jitted
+    # programs; "fused" = one program. Identical math (exact-equality
+    # tested); split measured 268.1/210.0 ms vs fused 271.0/213.3 at
+    # batch 64 bf16 AND avoids the fused parity-1 fp32 worker crash
+    # (PARITY.md). SMIRK_STEP_MODE env overrides.
+    step_mode: str = "split"
     use_wandb: bool = False
     Ke: int = 1
     samples_per_epoch: int = 50000

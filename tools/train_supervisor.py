@@ -29,8 +29,33 @@ def _extract_log_path(args) -> str:
     return "logs/1"
 
 
+_PROBE = ("import jax, jax.numpy as jnp\n"
+          "x = jax.jit(lambda a: (a@a).sum())(jnp.ones((256,256)))\n"
+          "print('probe ok', float(x))\n")
+
+
+def wait_device_healthy(env=None, attempts: int = 12,
+                        probe_timeout: float = 240.0,
+                        sleep_s: float = 120.0) -> bool:
+    """Block until a trivial jitted program runs (the remote TPU worker
+    takes 10-40 min to restart after a crash; relaunching training into a
+    dead worker just burns a restart)."""
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", _PROBE], env=env,
+                               timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"[supervisor] device probe {i} failed; retry in {sleep_s:.0f}s",
+              flush=True)
+        time.sleep(sleep_s)
+    return False
+
+
 def supervise(cmd, log_path: str, max_restarts: int = 10,
-              backoff: float = 120.0, env=None) -> int:
+              backoff: float = 120.0, env=None, probe: bool = False) -> int:
     """Run `cmd` (argv list); relaunch with resume_state on failure.
     From the second restart on, escalates to SMIRK_STEP_MODE=split (two
     smaller jitted programs, identical math) — the measured mitigation for
@@ -64,6 +89,10 @@ def supervise(cmd, log_path: str, max_restarts: int = 10,
               f"{'resuming from ' + resume if has_ckpt else 'no checkpoint; cold restart'}"
               f" in {backoff:.0f}s", flush=True)
         time.sleep(backoff)
+        if probe and not wait_device_healthy(env):
+            print("[supervisor] device never became healthy; giving up",
+                  flush=True)
+            return rc
 
 
 def main(argv=None):
@@ -78,8 +107,13 @@ def main(argv=None):
         i = argv.index("--backoff")
         backoff = float(argv[i + 1])
         del argv[i:i + 2]
+    probe = True
+    if "--no-probe" in argv:
+        probe = False
+        argv.remove("--no-probe")
     cmd = [sys.executable, os.path.join(REPO, "train.py")] + argv
-    sys.exit(supervise(cmd, _extract_log_path(argv), max_restarts, backoff))
+    sys.exit(supervise(cmd, _extract_log_path(argv), max_restarts, backoff,
+                       probe=probe))
 
 
 if __name__ == "__main__":
