@@ -162,7 +162,10 @@ def _run_epochs(config, system, state, train_loader, val_loader, mesh,
                 else:
                     state, metrics, aux = system.eval_step(state, batch, rng)
                 logger.log(batch_idx, metrics, phase)
-                if batch_idx % config.train.visualize_every == 0:
+                # visualize_every=0 disables viz entirely (saves two
+                # resident device programs; see PARITY.md worker notes)
+                if (config.train.visualize_every > 0
+                        and batch_idx % config.train.visualize_every == 0):
                     extra = system.make_visualizations(state, batch, aux)
                     grid = viz.training_grid(
                         jax.tree_util.tree_map(np.asarray, batch),

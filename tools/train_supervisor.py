@@ -62,6 +62,10 @@ def supervise(cmd, log_path: str, max_restarts: int = 10,
     remote-worker crashes on the largest fused train-step programs.
     Returns the final exit code (0 on eventual success)."""
     resume = os.path.join(log_path, "last_state.npz")
+    if probe and not wait_device_healthy(env):
+        print("[supervisor] device not healthy at launch; aborting",
+              flush=True)
+        return 1
     attempt = 0
     while True:
         argv = list(cmd)
