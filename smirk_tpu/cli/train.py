@@ -97,7 +97,8 @@ def main(argv=None):
     ckpt_every = config.train.ckpt_every_steps
     # fault-injection hook for restart-recovery tests: raise after the
     # cumulative train-step counter reaches N (fires once — resumed runs
-    # start past it)
+    # start past it); negative = raise before the first step of this
+    # incarnation (exercises the nothing-to-salvage path)
     fault_at = int(os.environ.get("SMIRK_FAULT_INJECT_STEP", "0"))
     global_step = int(np.asarray(state.step))
 
@@ -113,8 +114,13 @@ def main(argv=None):
         # atomic (tmp + rename): a state poisoned by a dead device client
         # cannot clobber the previous good checkpoint.
         try:
-            ckpt.save_state(_LAST_STATE[0], last_state_path)
-            print(f"[crash] salvaged {last_state_path}", file=sys.stderr)
+            if _LAST_STATE[0] is None:
+                # no step completed in this incarnation: leave any previous
+                # checkpoint untouched (an empty save would clobber it)
+                print("[crash] no completed step to salvage", file=sys.stderr)
+            else:
+                ckpt.save_state(_LAST_STATE[0], last_state_path)
+                print(f"[crash] salvaged {last_state_path}", file=sys.stderr)
         except Exception as salvage_err:  # noqa: BLE001
             print(f"[crash] state not salvageable: {salvage_err}",
                   file=sys.stderr)
@@ -147,6 +153,9 @@ def _run_epochs(config, system, state, train_loader, val_loader, mesh,
                     continue  # ragged tail batch
                 batch = parallel.shard_batch(batch, mesh)
                 if phase == "train":
+                    if fault_at < 0:
+                        raise RuntimeError(
+                            "SMIRK_FAULT_INJECT_STEP<0: pre-step fault")
                     state, metrics, aux = system.train_step(
                         state, batch, rng, parity=batch_idx
                     )

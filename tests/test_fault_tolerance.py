@@ -94,6 +94,25 @@ def test_crash_checkpoint_and_supervised_resume(tmp_path):
     assert any(r["phase"] == "train" for r in lines)
 
 
+def test_prestep_crash_preserves_previous_checkpoint(tmp_path):
+    """A crash before any step completes must NOT clobber an existing
+    last_state.npz (there is nothing to salvage — an empty save would
+    overwrite the previous good checkpoint)."""
+    log = str(tmp_path / "logs")
+    os.makedirs(log)
+    sentinel = b"sentinel-prev-ckpt"
+    ckpt_path = os.path.join(log, "last_state.npz")
+    with open(ckpt_path, "wb") as f:
+        f.write(sentinel)
+
+    cmd = [sys.executable, "-c", _RUNNER] + _base_args(log)
+    proc = subprocess.run(cmd, env=_env(fault_step=-1), capture_output=True,
+                          text=True, cwd=REPO, timeout=900)
+    assert proc.returncode != 0
+    assert "no completed step to salvage" in proc.stderr
+    assert open(ckpt_path, "rb").read() == sentinel
+
+
 def test_resume_state_restores_exactly(tmp_path):
     """restore_state round-trips the full TrainState (params + opt moments
     + step) through the CLI checkpoint file."""
