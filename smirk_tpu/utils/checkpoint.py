@@ -121,8 +121,13 @@ def save_model(state, path: str) -> None:
 
 def load_model(state, path: str):
     """Load a model-only export back into a TrainState."""
-    data = np.load(path)
-    has_gen = any(k.startswith("generator/") for k in data.files)
+    if path.endswith(".npz"):
+        data = np.load(path)
+        has_gen = any(k.startswith("generator/") for k in data.files)
+    else:  # orbax directory: probe for the generator subtree on disk
+        has_gen = state.generator is not None and any(
+            "generator" in n for n in os.listdir(os.path.abspath(path))
+        )
     template = {"encoder": state.encoder}
     if has_gen and state.generator is not None:
         template["generator"] = state.generator
