@@ -124,10 +124,11 @@ def load_model(state, path: str):
     if path.endswith(".npz"):
         data = np.load(path)
         has_gen = any(k.startswith("generator/") for k in data.files)
-    else:  # orbax directory: probe for the generator subtree on disk
-        has_gen = state.generator is not None and any(
-            "generator" in n for n in os.listdir(os.path.abspath(path))
-        )
+    else:  # orbax directory: the pytree structure lives in _METADATA
+        meta = os.path.join(os.path.abspath(path), "_METADATA")
+        with open(meta) as f:
+            has_gen = '"generator"' in f.read()
+        has_gen = has_gen and state.generator is not None
     template = {"encoder": state.encoder}
     if has_gen and state.generator is not None:
         template["generator"] = state.generator

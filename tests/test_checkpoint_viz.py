@@ -42,6 +42,44 @@ def test_orbax_async_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_model_export_roundtrip_orbax(tmp_path):
+    """save_model/load_model through the orbax directory backend (non-.npz
+    path), including the generator-subtree detection via _METADATA."""
+    from smirk_tpu.train.trainer import TrainState
+
+    enc = {"params": {"w": jnp.ones((3, 3))}, "batch_stats": {"m": jnp.zeros(3)}}
+    gen = {"params": {"w": jnp.full((2,), 2.0)}, "batch_stats": {}}
+    state = TrainState(step=jnp.zeros((), jnp.int32), encoder=enc,
+                       generator=gen, base_encoder=enc, enc_opt=None,
+                       gen_opt=None)
+    path = str(tmp_path / "model_dir")
+    ckpt.save_model(state, path)
+    ckpt.finalize()
+    blank = state.replace(
+        encoder=jax.tree_util.tree_map(jnp.zeros_like, enc),
+        generator=jax.tree_util.tree_map(jnp.zeros_like, gen),
+    )
+    restored = ckpt.load_model(blank, path)
+    np.testing.assert_array_equal(
+        np.asarray(restored.encoder["params"]["w"]), np.ones((3, 3)))
+    np.testing.assert_array_equal(
+        np.asarray(restored.generator["params"]["w"]), np.full((2,), 2.0))
+
+    # encoder-only export into a generator-less template
+    solo = TrainState(step=jnp.zeros((), jnp.int32), encoder=enc,
+                      generator=None, base_encoder=enc, enc_opt=None,
+                      gen_opt=None)
+    path2 = str(tmp_path / "model_dir2")
+    ckpt.save_model(solo, path2)
+    ckpt.finalize()
+    out = ckpt.load_model(
+        solo.replace(encoder=jax.tree_util.tree_map(jnp.zeros_like, enc)),
+        path2)
+    np.testing.assert_array_equal(
+        np.asarray(out.encoder["params"]["w"]), np.ones((3, 3)))
+    assert out.generator is None
+
+
 def test_model_export_roundtrip(tmp_path):
     from smirk_tpu.train.trainer import TrainState
 
