@@ -177,6 +177,100 @@ def export_inference_sharded(
     return path
 
 
+class InferenceServer:
+    """Request-level wrapper over a loaded artifact: accepts any batch size
+    by chunking to the exported batch (padding the tail with zeros and
+    trimming the outputs), the usual bucketing strategy for static-shape
+    accelerators. Thread-safe for the stdlib ThreadingHTTPServer: jax
+    dispatch is internally synchronized."""
+
+    def __init__(self, artifact_path: str):
+        if not artifact_path.endswith(ARTIFACT_SUFFIX):
+            artifact_path = artifact_path + ARTIFACT_SUFFIX
+        self.call = load_inference(artifact_path)
+        with open(artifact_path + META_SUFFIX) as f:
+            self.meta = json.load(f)
+        self.batch = int(self.meta["input"]["shape"][0])
+        self.input_shape = tuple(self.meta["input"]["shape"][1:])
+
+    def predict(self, img: np.ndarray) -> Dict[str, np.ndarray]:
+        img = np.asarray(img, np.float32)
+        if img.shape[1:] != self.input_shape:
+            raise ValueError(
+                f"input shape {img.shape[1:]} != exported {self.input_shape}"
+            )
+        n = img.shape[0]
+        chunks = []
+        for lo in range(0, n, self.batch):
+            part = img[lo: lo + self.batch]
+            pad = self.batch - part.shape[0]
+            if pad:
+                part = np.concatenate(
+                    [part, np.zeros((pad,) + self.input_shape, np.float32)]
+                )
+            out = self.call(part)
+            chunks.append({k: np.asarray(v) for k, v in out.items()})
+        return {
+            k: np.concatenate([c[k] for c in chunks])[:n]
+            for k in chunks[0]
+        }
+
+
+def create_http_server(artifact_path: str, host: str = "0.0.0.0",
+                       port: int = 8000):
+    """Production serving daemon over the stdlib http server.
+
+    Protocol:
+      GET  /healthz  -> 200 "ok" (readiness probe)
+      GET  /meta     -> the artifact's sidecar metadata json
+      POST /predict  -> body: npz with key "img" (N,H,W,3) float32 in [0,1];
+                        response: npz of the OUTPUT_KEYS arrays
+
+    Returns the ThreadingHTTPServer (caller runs serve_forever())."""
+    import io
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    server_obj = InferenceServer(artifact_path)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def _send(self, code, body: bytes, ctype="application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/meta":
+                self._send(200, json.dumps(server_obj.meta).encode(),
+                           "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                data = np.load(io.BytesIO(self.rfile.read(n)))
+                out = server_obj.predict(data["img"])
+                buf = io.BytesIO()
+                np.savez(buf, **out)
+                self._send(200, buf.getvalue())
+            except Exception as e:  # noqa: BLE001 — report, don't kill serving
+                self._send(400, str(e).encode(), "text/plain")
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.inference = server_obj
+    return srv
+
+
 def load_inference(path: str) -> Callable[[np.ndarray], Dict[str, np.ndarray]]:
     """Deserialize an exported artifact into a callable (no model code).
 

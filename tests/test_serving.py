@@ -73,6 +73,52 @@ def test_export_sharded_rejects_uneven_batch(tiny_system, tmp_path):
             n_devices=8)
 
 
+def test_http_serving_host(tiny_system, tmp_path):
+    """tools/serve.py daemon: healthz/meta endpoints + a /predict round
+    trip with a ragged batch (3 requests through an exported batch of 2:
+    chunking, tail padding, output trimming)."""
+    import io
+    import threading
+    import urllib.request
+
+    system, state = tiny_system
+    path = serving.export_inference(system, state.encoder,
+                                    str(tmp_path / "srv"), batch_size=2)
+    srv = serving.create_http_server(path, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        assert urllib.request.urlopen(base + "/healthz").read() == b"ok"
+        meta = json.loads(urllib.request.urlopen(base + "/meta").read())
+        assert meta["input"]["shape"] == [2, 64, 64, 3]
+
+        img = np.random.default_rng(2).random((3, 64, 64, 3)).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, img=img)
+        req = urllib.request.Request(base + "/predict", data=buf.getvalue(),
+                                     method="POST")
+        out = dict(np.load(io.BytesIO(urllib.request.urlopen(req).read())))
+        direct = serving.make_inference_fn(system, state.encoder)(img)
+        assert all(v.shape[0] == 3 for v in out.values())
+        for k in out:
+            np.testing.assert_allclose(out[k], np.asarray(direct[k]),
+                                       atol=1e-5, err_msg=k)
+
+        # malformed request -> 400, server stays alive
+        bad = urllib.request.Request(base + "/predict", data=b"junk",
+                                     method="POST")
+        try:
+            urllib.request.urlopen(bad)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert urllib.request.urlopen(base + "/healthz").read() == b"ok"
+    finally:
+        srv.shutdown()
+
+
 def test_export_tpu_cross_lowering_contains_mosaic(tmp_path):
     """A TPU artifact exported from this CPU host must embed the real Pallas
     kernels (tpu_custom_call), not the interpret-mode lax graph."""
