@@ -253,6 +253,7 @@ class VideoFrameDataset(FaceDataset):
         cap.release()
         if not frames:
             return None
+        decoded = len(frames)  # may stop short of the metadata frame count
         while len(frames) < K:  # short-clip tail: repeat last (static shapes)
             frames.append(frames[-1])
 
@@ -266,7 +267,11 @@ class VideoFrameDataset(FaceDataset):
         seed = int(rng.integers(0, 2**31 - 1))
         samples = []
         for t, frame in enumerate(frames):
-            i = min(start + t, len(mp_track) - 1, n - 1)
+            # clamp to the last DECODED frame: when cap.read() stops early
+            # (corrupt tail, inaccurate CAP_PROP_FRAME_COUNT) the padded
+            # frames are copies of frame start+decoded-1 and must carry that
+            # frame's landmarks, not later ones
+            i = min(start + t, start + decoded - 1, len(mp_track) - 1, n - 1)
             fan = fan_track[i] if fan_track is not None else None
             samples.append(
                 self._prepare(np.random.default_rng(seed), frame, fan,

@@ -74,11 +74,14 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     if all(np.asarray(s["img"]).ndim == 3 for s in samples):
         return {k: np.stack([np.asarray(s[k]) for s in samples])
                 for k in keys}
+    # whether each SAMPLE is a window is decided once, from img rank —
+    # per-key rank comparison misfolds all-window batches (every key's
+    # min rank is then the window rank and no sample gets the K axis)
+    is_window = [np.asarray(s["img"]).ndim == 4 for s in samples]
     out = {}
     for k in keys:
         arrs = [np.asarray(s[k]) for s in samples]
-        base = min(a.ndim for a in arrs)  # per-frame rank for this key
-        arrs = [a if a.ndim > base else a[None] for a in arrs]
+        arrs = [a if w else a[None] for a, w in zip(arrs, is_window)]
         out[k] = np.concatenate(arrs, axis=0)
     return out
 

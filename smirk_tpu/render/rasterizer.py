@@ -1405,6 +1405,14 @@ def rasterize_normals_fused(
     approx_max_k binning (inference-quality knob; the differentiable
     training raster keeps exact top_k)."""
     assert capacity % V3_CHUNK == 0
+    if sort_tiles and compact is not None:
+        raise ValueError(
+            "sort_tiles is incompatible with compact: the compact kernel "
+            "derives each tile's pixel coordinates from its row index, so "
+            "sorted bins would be edge-tested against the wrong pixels "
+            "(sort_tiles is a measured-negative scheduling experiment; "
+            "see ROADMAP.md)"
+        )
     B, F = face_verts.shape[:2]
     H = W = image_size
     ty = -(-H // TILE_ROWS)

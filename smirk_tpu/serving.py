@@ -50,18 +50,13 @@ def make_inference_fn(system, encoder_vars) -> Callable:
     return forward
 
 
-def export_inference(
-    system,
-    encoder_vars,
-    path: str,
-    batch_size: int = 8,
-    platforms: Optional[Sequence[str]] = None,
-) -> str:
-    """Serialize the inference step to `path` (+ sidecar metadata json).
-
-    platforms: lowering targets, e.g. ("tpu",) to cross-lower a TPU
-    artifact from a CPU host; None = the current backend.
-    """
+def _export_artifact(system, jit_fn, batch_size: int, path: str,
+                     platforms: Optional[Sequence[str]],
+                     extra_meta: Optional[dict] = None) -> str:
+    """Shared export tail: lower `jit_fn` on the (batch,H,W,3) input spec,
+    serialize, and write artifact + sidecar metadata. Cross-lowering for an
+    accelerator target from a CPU host must emit the real Mosaic kernels,
+    not the interpret-mode lax graph — hence the interpret override guard."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -69,10 +64,7 @@ def export_inference(
     from smirk_tpu.render import rasterizer as raster_lib
 
     size = system.config.image_size
-    fn = make_inference_fn(system, encoder_vars)
     spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.float32)
-    # cross-lowering for an accelerator target from a CPU host must emit the
-    # real Mosaic kernels, not the interpret-mode lax graph
     force_compiled = bool(platforms) and any(
         p not in ("cpu",) for p in platforms
     )
@@ -80,7 +72,7 @@ def export_inference(
         raster_lib.set_interpret_override(False)
     try:
         exp = jax_export.export(
-            jax.jit(fn), platforms=tuple(platforms) if platforms else None
+            jit_fn, platforms=tuple(platforms) if platforms else None
         )(spec)
     finally:
         if force_compiled:
@@ -97,11 +89,30 @@ def export_inference(
                   "layout": "NHWC", "range": "[0, 1] RGB"},
         "outputs": list(OUTPUT_KEYS),
         "platforms": list(exp.platforms),
+        **(extra_meta or {}),
         "bytes": len(blob),
     }
     with open(path + META_SUFFIX, "w") as f:
         json.dump(meta, f, indent=2)
     return path
+
+
+def export_inference(
+    system,
+    encoder_vars,
+    path: str,
+    batch_size: int = 8,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Serialize the inference step to `path` (+ sidecar metadata json).
+
+    platforms: lowering targets, e.g. ("tpu",) to cross-lower a TPU
+    artifact from a CPU host; None = the current backend.
+    """
+    import jax
+
+    fn = make_inference_fn(system, encoder_vars)
+    return _export_artifact(system, jax.jit(fn), batch_size, path, platforms)
 
 
 def export_inference_sharded(
@@ -123,11 +134,7 @@ def export_inference_sharded(
     scaling is linear over ICI-attached chips.
     """
     import jax
-    import jax.numpy as jnp
-    from jax import export as jax_export
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-    from smirk_tpu.render import rasterizer as raster_lib
 
     devs = jax.devices()
     if len(devs) < n_devices:
@@ -140,41 +147,13 @@ def export_inference_sharded(
     mesh = Mesh(np.asarray(devs[:n_devices]), ("data",))
     shard = NamedSharding(mesh, P("data"))
 
-    size = system.config.image_size
     fn = make_inference_fn(system, encoder_vars)
-    spec = jax.ShapeDtypeStruct((batch_size, size, size, 3), jnp.float32)
-    force_compiled = bool(platforms) and any(
-        p not in ("cpu",) for p in platforms
+    return _export_artifact(
+        system, jax.jit(fn, in_shardings=shard, out_shardings=shard),
+        batch_size, path, platforms,
+        extra_meta={"nr_devices": n_devices,
+                    "mesh": {"axes": ["data"], "shape": [n_devices]}},
     )
-    if force_compiled:
-        raster_lib.set_interpret_override(False)
-    try:
-        exp = jax_export.export(
-            jax.jit(fn, in_shardings=shard, out_shardings=shard),
-            platforms=tuple(platforms) if platforms else None,
-        )(spec)
-    finally:
-        if force_compiled:
-            raster_lib.set_interpret_override(None)
-    blob = exp.serialize()
-
-    if not path.endswith(ARTIFACT_SUFFIX):
-        path = path + ARTIFACT_SUFFIX
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(bytes(blob))
-    meta = {
-        "input": {"shape": [batch_size, size, size, 3], "dtype": "float32",
-                  "layout": "NHWC", "range": "[0, 1] RGB"},
-        "outputs": list(OUTPUT_KEYS),
-        "platforms": list(exp.platforms),
-        "nr_devices": exp.nr_devices,
-        "mesh": {"axes": ["data"], "shape": [n_devices]},
-        "bytes": len(blob),
-    }
-    with open(path + META_SUFFIX, "w") as f:
-        json.dump(meta, f, indent=2)
-    return path
 
 
 class InferenceServer:
@@ -200,6 +179,8 @@ class InferenceServer:
                 f"input shape {img.shape[1:]} != exported {self.input_shape}"
             )
         n = img.shape[0]
+        if n == 0:
+            raise ValueError("empty batch: need at least one image")
         chunks = []
         for lo in range(0, n, self.batch):
             part = img[lo: lo + self.batch]

@@ -120,17 +120,26 @@ def save_model(state, path: str) -> None:
 
 
 def load_model(state, path: str):
-    """Load a model-only export back into a TrainState."""
+    """Load a model-only export back into a TrainState. A checkpoint with a
+    generator loads fine into a generator-less state (the extra subtree is
+    ignored, matching the reference's strict=False load semantics)."""
     if path.endswith(".npz"):
         data = np.load(path)
-        has_gen = any(k.startswith("generator/") for k in data.files)
+        disk_gen = any(k.startswith("generator/") for k in data.files)
     else:  # orbax directory: the pytree structure lives in _METADATA
         meta = os.path.join(os.path.abspath(path), "_METADATA")
         with open(meta) as f:
-            has_gen = '"generator"' in f.read()
-        has_gen = has_gen and state.generator is not None
+            disk_gen = '"generator"' in f.read()
+    want_gen = disk_gen and state.generator is not None
+    if disk_gen and not want_gen and not path.endswith(".npz"):
+        # orbax StandardRestore requires a structurally-matching template;
+        # restore the saved tree as-is and keep only the encoder
+        ckptr = _orbax()
+        ckptr.wait_until_finished()
+        raw = ckptr.restore(os.path.abspath(path))
+        return state.replace(encoder=raw["encoder"])
     template = {"encoder": state.encoder}
-    if has_gen and state.generator is not None:
+    if want_gen:
         template["generator"] = state.generator
     restored = restore_state(template, path)
     return state.replace(

@@ -65,10 +65,17 @@ def test_model_export_roundtrip_orbax(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored.generator["params"]["w"]), np.full((2,), 2.0))
 
-    # encoder-only export into a generator-less template
+    # full export (with generator) into a generator-less template: the
+    # extra subtree is ignored (reference strict=False load semantics)
     solo = TrainState(step=jnp.zeros((), jnp.int32), encoder=enc,
                       generator=None, base_encoder=enc, enc_opt=None,
                       gen_opt=None)
+    partial = ckpt.load_model(
+        solo.replace(encoder=jax.tree_util.tree_map(jnp.zeros_like, enc)),
+        path)
+    np.testing.assert_array_equal(
+        np.asarray(partial.encoder["params"]["w"]), np.ones((3, 3)))
+    assert partial.generator is None
     path2 = str(tmp_path / "model_dir2")
     ckpt.save_model(solo, path2)
     ckpt.finalize()

@@ -216,9 +216,69 @@ def test_video_frame_dataset_temporal_windows(tmp_path):
     assert batch["img"].shape == (K + 1, 64, 64, 3)
     assert batch["flag_landmarks_fan"].shape == (K + 1,)
 
+    # collate: ALL-window batch must also fold to the batch axis (the
+    # common case when LRS3 is the only temporal dataset loaded)
+    batch_w = collate([s, ds[0]])
+    assert batch_w["img"].shape == (2 * K, 64, 64, 3)
+    assert batch_w["flag_landmarks_fan"].shape == (2 * K,)
+    assert batch_w["landmarks_fan"].shape == (2 * K, 68, 2)
+
     # short-clip tail: window start near the end repeats the last frame
     cfg1 = Config(image_size=64, K=n_frames + 4)
     ds_long = D.VideoFrameDataset(cfg1, items, temporal=True)
     s_long = ds_long[0]
     assert s_long["img"].shape == (n_frames + 4, 64, 64, 3)
     assert np.allclose(s_long["img"][-1], s_long["img"][-2])
+
+
+def test_temporal_window_midread_failure_keeps_landmarks_aligned(
+        tmp_path, monkeypatch):
+    """cap.read() stopping before K frames (corrupt tail / inaccurate
+    CAP_PROP_FRAME_COUNT): the repeated padding frames must carry the LAST
+    DECODED frame's landmarks, not later track entries."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(7)
+    n_frames, decodable, K = 6, 2, 4
+    frames = [_img(rng) for _ in range(n_frames)]
+    fan, mp = _landmarks(rng)
+    with open(tmp_path / "c.pkl", "wb") as f:
+        pickle.dump([fan + 3 * i for i in range(n_frames)], f)
+    np.save(tmp_path / "c.npy",
+            np.stack([mp + 3 * i for i in range(n_frames)]))
+
+    class _TruncCap:
+        """Reports n_frames but only yields `decodable` reads per open."""
+
+        def __init__(self, _path):
+            self.pos = 0
+            self.reads = 0
+
+        def get(self, _prop):
+            return float(n_frames)
+
+        def set(self, _prop, v):
+            self.pos = int(v)
+
+        def read(self):
+            if self.reads >= decodable or self.pos >= n_frames:
+                return False, None
+            f = frames[self.pos]
+            self.pos += 1
+            self.reads += 1
+            return True, f[..., ::-1]  # loader flips back to RGB
+
+        def release(self):
+            pass
+
+    monkeypatch.setattr(cv2, "VideoCapture", _TruncCap)
+    cfg = Config(image_size=64, K=K)
+    items = [("unused.mp4", str(tmp_path / "c.pkl"), str(tmp_path / "c.npy"))]
+    ds = D.VideoFrameDataset(cfg, items, temporal=True)
+    s = ds._get(0, np.random.default_rng(11))
+    assert s["img"].shape == (K, 64, 64, 3)
+    # frames decodable..K-1 are copies of frame decodable-1 and must have
+    # identical prepared landmarks (same frame, same landmarks, same seed)
+    for t in range(decodable, K):
+        np.testing.assert_array_equal(s["landmarks_mp"][t],
+                                      s["landmarks_mp"][decodable - 1])
+        np.testing.assert_array_equal(s["img"][t], s["img"][decodable - 1])

@@ -612,3 +612,15 @@ def test_early_exit_slanted_planes_safe():
     assert np.asarray(p2f_o)[0, 16, 28] != np.asarray(p2f_o)[0, 16, 2], \
         "scene must split the winner between A and B"
     assert (np.asarray(p2f) == np.asarray(p2f_o)).all()
+
+
+def test_fused_rejects_sort_tiles_with_compact():
+    """sort_tiles reorders bins but the compact kernel derives pixel
+    coordinates from the tile row index — the combination would silently
+    rasterize each tile at another tile's pixels, so it must be rejected."""
+    rng = np.random.default_rng(3)
+    fv = random_mesh(rng, F=50, B=1)
+    fn = jnp.asarray(rng.normal(0, 1, (1, 50, 3, 3)).astype(np.float32))
+    with pytest.raises(ValueError, match="sort_tiles"):
+        R.rasterize_normals_fused(fv, fn, 32, capacity=64, interpret=True,
+                                  sort_tiles=True, compact=16)

@@ -106,6 +106,17 @@ def test_http_serving_host(tiny_system, tmp_path):
             np.testing.assert_allclose(out[k], np.asarray(direct[k]),
                                        atol=1e-5, err_msg=k)
 
+        # empty batch -> clear 400, not an opaque IndexError
+        buf0 = io.BytesIO()
+        np.savez(buf0, img=np.zeros((0, 64, 64, 3), np.float32))
+        req0 = urllib.request.Request(base + "/predict", data=buf0.getvalue(),
+                                      method="POST")
+        try:
+            urllib.request.urlopen(req0)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"empty batch" in e.read()
+
         # malformed request -> 400, server stays alive
         bad = urllib.request.Request(base + "/predict", data=b"junk",
                                      method="POST")
