@@ -106,7 +106,7 @@ def process_image(system, state, image: np.ndarray, kpt: Optional[np.ndarray],
         rscale = jax.random.uniform(k3, (1,)) * (mask_ratio_mul - 1) + 1
         rbound = (n_upper / mask_ratio_mul * (rscale ** rsing)).astype(jnp.int32)
         extra = M.transfer_pixels(img, npoints, npoints, valid_count=rbound)
-        hull = 1.0 - T.convex_hull_mask(kpt_c, (224, 224))
+        hull = T.convex_hull_mask(kpt_c, (224, 224))  # 1=background
         masked = M.compose_mask(
             k4, img, jnp.asarray(hull[None, :, :, None]), extra,
             dilation_radius=dilation, rendered_mask=out["rendered_mask"],

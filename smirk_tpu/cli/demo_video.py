@@ -154,12 +154,15 @@ def main(argv=None):
             from smirk_tpu.data import transforms as T
 
             hulls = np.stack([
-                1.0 - T.convex_hull_mask(k, (224, 224)) if k is not None
+                T.convex_hull_mask(k, (224, 224)) if k is not None  # 1=bg
                 else np.ones((224, 224), np.float32)
                 for k in (kpts_c + [None] * (args.batch - n))
             ])[..., None]
             recon = gen_fn(imgs, out, jnp.asarray(hulls), idx0)
-        jax.block_until_ready(out["rendered_img"])
+        # time the FULL device pipeline: with the generator on, recon is the
+        # last dispatched computation and must be inside the timed window
+        jax.block_until_ready(recon if recon is not None
+                              else out["rendered_img"])
         if not first_call:  # exclude the compile-bearing first batch
             fps_time += time.perf_counter() - t0
             fps_frames += n
@@ -171,11 +174,13 @@ def main(argv=None):
     for fi, frame in enumerate(iter_frames(args.input_path)):
         kpt = tracks[fi] if tracks is not None else get_landmarks(frame, None)
         if args.crop and kpt is not None:
-            M = T.crop_face_tform(kpt[..., :2], 1.4, 224)
+            # NB: not named `M` — that alias is the masking module gen_fn
+            # closes over; rebinding it here broke the generator path
+            tfm = T.crop_face_tform(kpt[..., :2], 1.4, 224)
             # warp deferred to flush: the whole chunk goes through the native
             # batch executor (libfastops warp_affine_batch) in one call
-            crop = ("warp", M)
-            kpts_c.append(T.transform_points(M, kpt[..., :2]))
+            crop = ("warp", tfm)
+            kpts_c.append(T.transform_points(tfm, kpt[..., :2]))
         else:
             from PIL import Image
 

@@ -74,6 +74,23 @@ def main(argv=None):
             if w.mica_loss > 0 else None),
     )
     state = system.init_state(jax.random.PRNGKey(0))
+    if config.arch.backbone_init_small or config.arch.backbone_init_large:
+        # ImageNet-pretrained backbone init from raw timm state dicts
+        # (reference smirk_encoder.py:7-12 pretrained=True); resume/ckpt
+        # loads below still override everything
+        from smirk_tpu.utils import importer
+
+        enc = importer.init_backbones_from_state_dicts(
+            state.encoder,
+            importer.load_raw_state_dict(config.arch.backbone_init_small)
+            if config.arch.backbone_init_small else None,
+            importer.load_raw_state_dict(config.arch.backbone_init_large)
+            if config.arch.backbone_init_large else None,
+        )
+        state = state.replace(
+            encoder=enc,
+            base_encoder=jax.tree_util.tree_map(lambda x: x, enc))
+        print("[init] backbones initialized from timm state dicts")
     if config.resume:
         state = ckpt.load_model(state, config.resume)
         # refresh the frozen base copy after loading (reference train.py:43)
@@ -170,7 +187,8 @@ def _run_epochs(config, system, state, train_loader, val_loader, mesh,
                             f"SMIRK_FAULT_INJECT_STEP={fault_at}")
                 else:
                     state, metrics, aux = system.eval_step(state, batch, rng)
-                logger.log(batch_idx, metrics, phase)
+                logger.log(batch_idx, metrics, phase, epoch=epoch,
+                           global_step=global_step)
                 # visualize_every=0 disables viz entirely (saves two
                 # resident device programs; see PARITY.md worker notes)
                 if (config.train.visualize_every > 0

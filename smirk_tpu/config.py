@@ -82,6 +82,12 @@ class ArchConfig:
     # BN stats, heads and losses stay f32). Off by default: fp32 matches the
     # reference numerics; flip for throughput on TPU.
     bf16_compute: bool = False
+    # ImageNet-pretrained backbone init (reference smirk_encoder.py:7-12
+    # passes pretrained=True to timm): paths to raw timm tf_mobilenetv3
+    # state dicts (.pt/.tar via torch, .npz via numpy); empty = random init
+    # (documented deviation when the files are absent, see PARITY.md)
+    backbone_init_small: str = ""
+    backbone_init_large: str = ""
 
 
 @dataclass(frozen=True)
@@ -142,6 +148,12 @@ def _build(cls, data: Dict[str, Any]):
     for k, v in data.items():
         if k not in fields:
             raise KeyError(f"unknown config key: {k} (for {cls.__name__})")
+        if v is None:
+            # a null YAML value at any depth means "unset, use the default"
+            # (the reference's OmegaConf configs use `resume:` this way);
+            # passing None into a typed frozen field would surface as an
+            # AttributeError far from the config load
+            continue
         ftype = fields[k].type
         sub = _DATACLASS_BY_NAME.get(str(ftype).split(".")[-1].strip("'>"), None)
         if isinstance(v, dict):
@@ -171,9 +183,6 @@ def load_config(path: Optional[str] = None, overrides: Tuple[str, ...] = ()) -> 
 
         with open(path) as f:
             data = yaml.safe_load(f) or {}
-        data = {k: v for k, v in data.items() if v is not None or k != "resume"}
-        if data.get("resume") is None:
-            data["resume"] = ""
     cfg = _build(Config, data)
     for ov in overrides:
         cfg = apply_override(cfg, ov)

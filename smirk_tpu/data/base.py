@@ -40,6 +40,9 @@ def prepare_sample(
     lmk_fan = T.transform_points(M, landmarks_fan)
     lmk_mp = T.transform_points(M, landmarks_mediapipe)
 
+    # augment in FACE polarity (1=face) so the warp's zero border fill stays
+    # background — the reference flips for albumentations the same way
+    # (base_dataset.py:161,166) — then flip back to the batch contract below
     hull_mask = 1.0 - T.convex_hull_mask(lmk_mp, (image_size, image_size))
     lmk_mp = lmk_mp[T.MEDIAPIPE_INDICES]
 
@@ -67,6 +70,9 @@ def prepare_sample(
         "landmarks_fan": lmk_fan.astype(np.float32),
         "flag_landmarks_fan": np.asarray(flag_fan),
         "landmarks_mp": lmk_mp.astype(np.float32),
-        "mask": hull_mask[..., None].astype(np.float32),
+        # 1 = background, 0 = face hull: the reference batch contract
+        # (create_mask, base_dataset.py:9-15,210) that compose_mask expects —
+        # it dilates the FACE (1-mask) and removes it from the image
+        "mask": (1.0 - hull_mask)[..., None].astype(np.float32),
         "img_mica": mica,
     }

@@ -164,7 +164,8 @@ def _dilate(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
 def compose_mask(
     key,
     img: jnp.ndarray,  # (B,H,W,C)
-    mask: jnp.ndarray,  # (B,H,W,1) face hull mask (1 = face)
+    mask: jnp.ndarray,  # (B,H,W,1) hull mask, 1 = BACKGROUND (create_mask
+    # polarity, base_dataset.py:9-15): the face (1-mask) is dilated + removed
     extra_points: jnp.ndarray,  # (B,H,W,C) sparse pixel hints
     dilation_radius: int = 15,
     rendered_mask: Optional[jnp.ndarray] = None,  # (B,H,W,1)

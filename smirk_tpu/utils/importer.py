@@ -112,8 +112,6 @@ def import_state_dict(
         if tkey not in state_dict:
             if strict:
                 missing.append(tkey)
-                leaves.append(template)
-                continue
             leaves.append(template)
             continue
         t = state_dict[tkey]
@@ -180,3 +178,39 @@ def export_state_dict(flax_variables, prefix: str = "") -> Dict[str, Any]:
             raise ValueError(f"duplicate torch key {tkey}")
         out[tkey] = arr
     return out
+
+
+def load_raw_state_dict(path: str) -> Dict[str, Any]:
+    """Load a torch .pt/.tar pickle (CPU) or an .npz into a flat tensor
+    dict. Unwraps the common {'state_dict': ...} nesting."""
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return sd
+
+
+def init_backbones_from_state_dicts(
+    encoder_variables: Dict[str, Any],
+    small_sd: Mapping[str, Any] = None,
+    large_sd: Mapping[str, Any] = None,
+) -> Dict[str, Any]:
+    """ImageNet-pretrained backbone init (reference smirk_encoder.py:7-12
+    builds the timm backbones with pretrained=True): map raw timm
+    tf_mobilenetv3 state dicts (keys conv_stem./bn1./blocks.i.j...) onto
+    the three encoders' feature extractors. Heads keep their init; extra
+    timm keys (conv_head, classifier) are ignored."""
+    sd: Dict[str, Any] = {}
+
+    def add(enc: str, d: Mapping[str, Any]):
+        sd.update({f"{enc}.encoder.{k}": _np(v) for k, v in d.items()})
+
+    if small_sd is not None:
+        add("pose_encoder", small_sd)
+    if large_sd is not None:
+        add("shape_encoder", large_sd)
+        add("expression_encoder", large_sd)
+    return import_state_dict(sd, encoder_variables, prefix="", strict=False)

@@ -22,14 +22,19 @@ class MetricLogger:
         self.t0 = time.time()
 
     def log(self, step: int, metrics: Dict, phase: str = "train",
-            force: bool = False) -> None:
+            force: bool = False, epoch: Optional[int] = None,
+            global_step: Optional[int] = None) -> None:
         if step % self.every and not force:
             return
         rec = {
-            "step": int(step),
+            "step": int(step),  # per-epoch batch index (reference convention)
             "phase": phase,
             "t": round(time.time() - self.t0, 3),
         }
+        if epoch is not None:  # disambiguate records across epochs/phases
+            rec["epoch"] = int(epoch)
+        if global_step is not None:
+            rec["global_step"] = int(global_step)
         rec.update({k: float(v) for k, v in metrics.items()})
         if self.fh:
             self.fh.write(json.dumps(rec) + "\n")

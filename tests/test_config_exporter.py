@@ -47,3 +47,18 @@ def test_ops_namespace_imports():
     for name in ("rasterize", "lbs", "compose_mask", "directional_shading",
                  "batch_orth_proj", "rasterize_normals_fused"):
         assert hasattr(ops, name), name
+
+
+def test_null_yaml_values_use_defaults(tmp_path):
+    """Null YAML values at any depth mean 'unset' (OmegaConf `resume:`
+    style) — they must not poison typed frozen fields with None."""
+    from smirk_tpu.config import Config, load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text("resume:\ndevice:\ntrain:\n  lr:\n  batch_size: 4\n")
+    cfg = load_config(str(p))
+    d = Config()
+    assert cfg.resume == d.resume
+    assert cfg.device == d.device
+    assert cfg.train.lr == d.train.lr
+    assert cfg.train.batch_size == 4

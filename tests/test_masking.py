@@ -115,3 +115,40 @@ def test_transfer_pixels_budget():
     o = np.asarray(out)
     assert o[0, 1, 1].sum() == 3 and o[0, 2, 2].sum() == 3
     assert o[0, 3, 3].sum() == 0  # beyond budget -> dropped
+
+
+def test_compose_mask_polarity_removes_face_keeps_background():
+    """The SMIRK contract: the generator input has the (dilated) face hull
+    ERASED and the far background KEPT. mask is 1=background (reference
+    create_mask polarity, base_dataset.py:9-15). A polarity inversion here
+    would hand the generator the visible ground-truth face and cannot be
+    caught by golden tests that feed both implementations the same mask."""
+    H = 64
+    img = jnp.ones((1, H, H, 3))
+    mask = np.ones((1, H, H, 1), np.float32)
+    mask[:, 20:44, 20:44] = 0.0  # face hull
+    out = np.asarray(M.compose_mask(
+        jax.random.PRNGKey(0), img, jnp.asarray(mask),
+        jnp.zeros_like(img), dilation_radius=5,
+        extra_noise=False, random_mask=0.0,
+    ))
+    assert out[:, 28:36, 28:36].max() == 0.0  # face interior erased
+    assert out[0, 17, 32, 0] == 0.0           # dilation ring erased too
+    assert out[:, :10, :10].min() == 1.0      # far background kept
+
+
+def test_prepare_sample_mask_polarity():
+    """batch['mask'] is 1=background / 0=face-hull: the crop recenters the
+    landmarks, so the output center is inside the hull (0) and the corners
+    are background (1)."""
+    from smirk_tpu.data.base import prepare_sample
+
+    rng = np.random.default_rng(0)
+    th = np.linspace(0, 2 * np.pi, 478, endpoint=False)
+    mp = np.stack([80 + 30 * np.cos(th), 80 + 35 * np.sin(th)], 1)
+    img = (rng.random((160, 160, 3)) * 255).astype(np.uint8)
+    s = prepare_sample(rng, img, None, mp.astype(np.float32),
+                       image_size=64, scale=1.6, test=True)
+    m = s["mask"][..., 0]
+    assert m[32, 32] == 0.0  # face center
+    assert m[1, 1] == 1.0 and m[-2, -2] == 1.0  # corners = background

@@ -234,3 +234,60 @@ def test_generator_parity():
         rtol=1e-4,
         atol=2e-5,
     )
+
+
+def test_backbone_init_from_raw_timm_state_dicts():
+    """arch.backbone_init_{small,large}: raw timm tf_mobilenetv3 state
+    dicts (conv_stem./bn1./blocks.i.j... keys, no smirk_encoder prefix)
+    initialize the three encoders' feature extractors; heads keep their
+    init (reference smirk_encoder.py:7-12 pretrained=True semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from smirk_tpu.models.encoders import SmirkEncoder
+    from smirk_tpu.utils import importer
+    from tests.torch_ref import MobileNetV3FeaturesTorch
+
+    small = [[("ds", 16, 16, 2)], [("ir", 24, 24, 2)], [("cn", 0, 40, 1)]]
+    large = [[("ds", 16, 16, 1)], [("ir", 24, 24, 2)], [("cn", 0, 48, 1)]]
+    torch.manual_seed(0)
+    tw_small = MobileNetV3FeaturesTorch(small)
+    tw_large = MobileNetV3FeaturesTorch(large)
+    # extra timm-checkpoint keys (conv_head/classifier) must be ignored
+    small_sd = {**{k: v for k, v in tw_small.state_dict().items()},
+                "conv_head.weight": torch.zeros(1),
+                "classifier.bias": torch.zeros(1)}
+    large_sd = dict(tw_large.state_dict())
+
+    from smirk_tpu.models import mobilenetv3 as mnv3
+    orig = dict(mnv3.ARCHS)
+    mnv3.ARCHS["tf_mobilenetv3_small_minimal_100"] = (small, 40)
+    mnv3.ARCHS["tf_mobilenetv3_large_minimal_100"] = (large, 48)
+    try:
+        enc = SmirkEncoder(n_exp=10, n_shape=30)
+        variables = enc.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 32, 32, 3)), train=False)
+        variables = jax.tree_util.tree_map(np.asarray, dict(variables))
+        out = importer.init_backbones_from_state_dicts(
+            variables, small_sd, large_sd)
+    finally:
+        mnv3.ARCHS.clear()
+        mnv3.ARCHS.update(orig)
+
+    # backbone conv_stem imported (OIHW -> HWIO) per encoder
+    np.testing.assert_array_equal(
+        out["params"]["pose_encoder"]["encoder"]["conv_stem"]["kernel"],
+        importer.convert_conv(small_sd["conv_stem.weight"]))
+    for e in ("shape_encoder", "expression_encoder"):
+        np.testing.assert_array_equal(
+            out["params"][e]["encoder"]["conv_stem"]["kernel"],
+            importer.convert_conv(large_sd["conv_stem.weight"]))
+    # BN running stats land in batch_stats
+    np.testing.assert_array_equal(
+        out["batch_stats"]["pose_encoder"]["encoder"]["bn1"]["mean"],
+        small_sd["bn1.running_mean"].numpy())
+    # heads keep their init
+    np.testing.assert_array_equal(
+        out["params"]["pose_encoder"]["pose_cam_layers_0"]["kernel"],
+        variables["params"]["pose_encoder"]["pose_cam_layers_0"]["kernel"])
