@@ -75,7 +75,7 @@ def main():
             {
                 "metric": "224px_encode_flame_render_fps_per_chip",
                 "value": round(fps, 2),
-                "unit": "fps",
+                "unit": "fps/chip",
                 "vs_baseline": round(fps / 500.0, 3),
             }
         )

@@ -78,7 +78,10 @@ def convex_hull_mask(points: np.ndarray,
     lib = load()
     if lib is None:
         return None
-    pts = np.ascontiguousarray(np.asarray(points, np.float64)[:, :2])
+    # int-truncate like the reference create_mask (idempotent when the
+    # caller already truncated; keeps scalar and batch paths identical)
+    pts = np.ascontiguousarray(
+        np.asarray(points)[:, :2].astype(np.int32).astype(np.float64))
     H, W = shape
     mask = np.empty((H, W), np.float32)
     lib.convex_hull_mask(_fp(pts, ctypes.c_double), len(pts),
@@ -115,11 +118,13 @@ def warp_affine_batch(images: np.ndarray, Ms: np.ndarray,
 
 def convex_hull_mask_batch(points: np.ndarray, shape: Tuple[int, int],
                            n_threads: int = 0) -> Optional[np.ndarray]:
-    """Batched hull fill: points (N,K,2) -> masks (N,H,W)."""
+    """Batched hull fill: points (N,K,2) -> masks (N,H,W). Coordinates are
+    int-truncated like the reference create_mask (and the scalar path)."""
     lib = load()
     if lib is None or not hasattr(lib, "convex_hull_mask_batch"):
         return None
-    pts = np.ascontiguousarray(np.asarray(points, np.float64)[..., :2])
+    pts = np.ascontiguousarray(
+        np.asarray(points)[..., :2].astype(np.int32).astype(np.float64))
     N, K = pts.shape[:2]
     H, W = shape
     masks = np.empty((N, H, W), np.float32)

@@ -61,10 +61,25 @@ def initialize_distributed() -> int:
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devices)} devices "
+                "visible — a silently smaller mesh would break batch "
+                "divisibility downstream"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     assert n % model_parallel == 0
-    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    shape = (n // model_parallel, model_parallel)
+    try:
+        # ICI-topology-aware layout on real TPU slices: neighboring mesh
+        # coordinates land on adjacent chips so the data-axis all-reduce
+        # ring rides contiguous ICI links
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception:  # virtual CPU meshes / older jax: plain reshape
+        arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

@@ -70,7 +70,8 @@ class Renderer:
             # Floor 384 measured on the face mesh at 224px: coverage equal to
             # cap-512, mean pixel diff 3e-4, 2389 vs 2097 fps.
             F = len(render_faces)
-            tiles = max(1, -(-image_size // 8) * -(-image_size // 128))
+            tiles = max(1, -(-image_size // raster_lib.TILE_ROWS)
+                        * -(-image_size // raster_lib.TILE_COLS))
             need = max(384, -(-4 * F // tiles // 32) * 32)
             bin_capacity = min(-(-F // 32) * 32, need)
         self.bin_capacity = bin_capacity
@@ -140,7 +141,6 @@ class Renderer:
         region, z+10, vertex normals as interpolated attributes, 5-light
         directional shading on gray albedo.
         """
-        B = vertices.shape[0]
         sub_v = vertices[:, self._kept]
         sub_tv = transformed_vertices[:, self._kept]
         sub_tv = jnp.concatenate(
@@ -176,7 +176,6 @@ class Renderer:
         consumes the render's gradient."""
         vertices = jax.lax.stop_gradient(vertices)
         transformed_vertices = jax.lax.stop_gradient(transformed_vertices)
-        B = vertices.shape[0]
         sub_v = vertices[:, self._kept]
         sub_tv = jnp.concatenate(
             [transformed_vertices[:, self._kept][..., :2],

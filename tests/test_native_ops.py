@@ -58,8 +58,9 @@ def test_native_hull_matches_numpy_oracle():
     for _ in range(4):
         pts = rng.uniform(3, 28, (25, 2))
         a = native.convex_hull_mask(pts, (32, 32))
-        # numpy oracle (module-internal, bypasses dispatch)
-        pts64 = np.asarray(pts, np.float64)
+        # numpy oracle (module-internal, bypasses dispatch); coordinates
+        # int-truncated like the native path / reference create_mask
+        pts64 = np.asarray(pts, np.float64).astype(np.int32).astype(np.float64)
         hull = T._convex_hull(pts64)
         H, W = 32, 32
         yy, xx = np.mgrid[0:H, 0:W]
