@@ -186,7 +186,11 @@ def _run_epochs(config, system, state, train_loader, val_loader, mesh,
                         raise RuntimeError(
                             f"SMIRK_FAULT_INJECT_STEP={fault_at}")
                 else:
-                    state, metrics, aux = system.eval_step(state, batch, rng)
+                    # fold in the batch index: state.step is frozen during
+                    # validation, so a fixed key would evaluate every val
+                    # batch under one identical mask-sampling realization
+                    state, metrics, aux = system.eval_step(
+                        state, batch, jax.random.fold_in(rng, batch_idx))
                 logger.log(batch_idx, metrics, phase, epoch=epoch,
                            global_step=global_step)
                 # visualize_every=0 disables viz entirely (saves two

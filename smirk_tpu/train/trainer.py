@@ -135,18 +135,25 @@ class SmirkSystem:
 
         # --- optimizers (reference base_trainer.py:28-66) ---
         # per-submodule trainability (reference picks param groups,
-        # base_trainer.py:43-51); frozen submodules get zero updates
+        # base_trainer.py:43-51); frozen submodules get zero updates.
+        # The cosine LR is indexed by state.step (the training-iteration
+        # counter), NOT by optax's internal update count: with the cycle
+        # path on, each optimizer updates up to twice per iteration (phase 1
+        # + its unfrozen phase-2 turn), while the reference steps its
+        # scheduler exactly once per iteration (smirk_trainer.py:397) and
+        # uses one LR for both backward passes. Adam's bias-correction
+        # count stays per-update-call, matching torch Adam's own counter.
         enc_peak = 0.25 * c.train.lr
         self.enc_tx = optax.multi_transform(
             {
-                "train": optax.adam(_cosine_epoch_restart(enc_peak, steps_per_epoch)),
+                "train": optax.scale_by_adam(),
                 "freeze": optax.set_to_zero(),
             },
             self._encoder_labels,
         )
-        self.gen_tx = optax.adam(
-            _cosine_epoch_restart(c.train.lr, steps_per_epoch), b1=0.5, b2=0.999
-        )
+        self.enc_lr = _cosine_epoch_restart(enc_peak, steps_per_epoch)
+        self.gen_tx = optax.scale_by_adam(b1=0.5, b2=0.999)
+        self.gen_lr = _cosine_epoch_restart(c.train.lr, steps_per_epoch)
 
         self._train_step = jax.jit(
             self._step_impl, static_argnames=("parity", "train")
@@ -173,12 +180,13 @@ class SmirkSystem:
 
     def init_state(self, rng) -> TrainState:
         img = jnp.zeros((1, self.config.image_size, self.config.image_size, 3))
-        enc_vars = self.encoder.init(rng, img)
+        k_enc, k_gen = jax.random.split(rng)
+        enc_vars = self.encoder.init(k_enc, img)
         enc_vars = {"params": enc_vars["params"],
                     "batch_stats": enc_vars["batch_stats"]}
         gen_vars = None
         if self.generator is not None:
-            gv = self.generator.init(rng, jnp.zeros(
+            gv = self.generator.init(k_gen, jnp.zeros(
                 (1, self.config.image_size, self.config.image_size, 6)))
             gen_vars = {"params": gv["params"], "batch_stats": gv["batch_stats"]}
         return TrainState(
@@ -389,7 +397,7 @@ class SmirkSystem:
         D = feats["expression_params"].shape[1]
         n = feats["expression_params"].shape[0]  # Ke * B already tiled
         q = n // 4
-        ks = jax.random.split(rng, 16)
+        ks = jax.random.split(rng, 20)
         perm = jax.random.permutation(ks[0], n)
         g0, g1, g2, g3 = perm[:q], perm[q:2 * q], perm[2 * q:3 * q], perm[3 * q:]
 
@@ -427,9 +435,13 @@ class SmirkSystem:
         jaw = jaw + jax.random.normal(ks[15], jaw.shape) * 0.2 * scale_mask
         jaw = jaw.at[..., 0].set(jnp.clip(jaw[..., 0], 0.0, 0.5))
 
-        kk = jax.random.split(ks[0], 4)  # fresh keys for the tail ops
-        eyelid = feats.get("eyelid_params")
-        if c.arch.use_eyelids and eyelid is not None:
+        kk = ks[16:20]  # tail-op keys (never reuse a consumed key: ks[0]
+        # already drove the group permutation, so deriving these from it
+        # would correlate group assignment with the tail randomness)
+        # the encoder always emits eyelid_params (encoders.py); gate on the
+        # config flag alone, same as _loss2's cycle term
+        eyelid = feats["eyelid_params"]
+        if c.arch.use_eyelids:
             eyelid = jnp.clip(
                 eyelid + (-1 + 2 * jax.random.uniform(kk[0], eyelid.shape)) * 0.25,
                 0.0, 1.0,
@@ -440,7 +452,7 @@ class SmirkSystem:
             jax.random.normal(kk[2], (g3.shape[0], D))
         expr = expr.at[g3].set(noise3)
         jaw = jaw.at[g3].set(0.0)
-        if c.arch.use_eyelids and eyelid is not None:
+        if c.arch.use_eyelids:
             eyelid = eyelid.at[g3].set(
                 jax.random.uniform(kk[3], (g3.shape[0], eyelid.shape[1]))
             )
@@ -448,8 +460,7 @@ class SmirkSystem:
         out = dict(feats)
         out["expression_params"] = expr
         out["jaw_params"] = jaw
-        if eyelid is not None:
-            out["eyelid_params"] = eyelid
+        out["eyelid_params"] = eyelid  # unmodified when use_eyelids is off
         return jax.lax.stop_gradient(out)
 
     def _loss2(self, enc_params, gen_params, enc_stats, gen_stats, batch,
@@ -558,6 +569,12 @@ class SmirkSystem:
 
     # ------------------------------ full step ------------------------------
 
+    @staticmethod
+    def _apply_lr(updates, lr):
+        """scale_by_adam emits the ascent direction; descend at lr (the
+        reference's one-LR-per-iteration, indexed by state.step)."""
+        return jax.tree_util.tree_map(lambda u: -lr * u, updates)
+
     def _phase1(self, state: TrainState, batch, rng1):
         """Path-1 grad + updates -> (mid-state fields dict, metrics, aux1)."""
         enc_params = state.encoder["params"]
@@ -575,13 +592,16 @@ class SmirkSystem:
         enc_updates, enc_opt = self.enc_tx.update(
             grads[0], state.enc_opt, enc_params
         )
-        enc_params = optax.apply_updates(enc_params, enc_updates)
+        enc_params = optax.apply_updates(
+            enc_params, self._apply_lr(enc_updates, self.enc_lr(state.step)))
         gen_opt = state.gen_opt
         if self.generator is not None:
             gen_updates, gen_opt = self.gen_tx.update(
                 grads[1], state.gen_opt, gen_params
             )
-            gen_params = optax.apply_updates(gen_params, gen_updates)
+            gen_params = optax.apply_updates(
+                gen_params,
+                self._apply_lr(gen_updates, self.gen_lr(state.step)))
 
         metrics = dict(aux1["losses"])
         metrics["loss_first_path"] = loss1
@@ -590,8 +610,10 @@ class SmirkSystem:
                    enc_opt=enc_opt, gen_opt=gen_opt)
         return mid, metrics, aux1
 
-    def _phase2(self, mid, batch, enc_out, trans_verts, rng2, parity: int):
-        """Cycle-path grad + updates on the phase-1-updated params."""
+    def _phase2(self, mid, batch, enc_out, trans_verts, rng2, parity: int,
+                step=None):
+        """Cycle-path grad + updates on the phase-1-updated params. `step`
+        is the iteration counter for the LR schedule (same LR as phase 1)."""
         freeze_encoder = parity % 2 == 0  # base_trainer.py:267
         freeze_generator = not freeze_encoder
         enc_params, gen_params = mid["enc_params"], mid["gen_params"]
@@ -609,7 +631,8 @@ class SmirkSystem:
             enc_updates, enc_opt = self.enc_tx.update(
                 grads2[0], enc_opt, enc_params
             )
-            enc_params = optax.apply_updates(enc_params, enc_updates)
+            enc_params = optax.apply_updates(
+                enc_params, self._apply_lr(enc_updates, self.enc_lr(step)))
         if not freeze_generator:
             # generator grad clip 0.1 (smirk_trainer.py:377-379)
             g = grads2[1]
@@ -617,7 +640,8 @@ class SmirkSystem:
             scale = jnp.minimum(1.0, 0.1 / jnp.maximum(gnorm, 1e-12))
             g = jax.tree_util.tree_map(lambda t: t * scale, g)
             gen_updates, gen_opt = self.gen_tx.update(g, gen_opt, gen_params)
-            gen_params = optax.apply_updates(gen_params, gen_updates)
+            gen_params = optax.apply_updates(
+                gen_params, self._apply_lr(gen_updates, self.gen_lr(step)))
 
         metrics2 = dict(aux2["losses"])
         metrics2["loss_second_path"] = loss2
@@ -664,6 +688,7 @@ class SmirkSystem:
             mid, metrics2, viz2 = self._phase2(
                 mid, batch, aux1["encoder_output"],
                 aux1["transformed_vertices"], rng2, parity,
+                step=state.step,
             )
             metrics.update(metrics2)
             aux1 = dict(aux1)
@@ -689,7 +714,7 @@ class SmirkSystem:
                    gen_stats=state.generator["batch_stats"],
                    enc_opt=state.enc_opt, gen_opt=state.gen_opt)
         mid, metrics2, viz2 = self._phase2(
-            mid, batch, enc_out, trans_verts, rng2, parity
+            mid, batch, enc_out, trans_verts, rng2, parity, step=state.step
         )
         return self._mid_to_state(state, mid, bump_step=True), metrics2, viz2
 
@@ -745,13 +770,16 @@ class SmirkSystem:
         base_out = self.encoder.apply(state.base_encoder, batch["img"],
                                       train=False)
         base_flame = self.flame(base_out)
+        # inference=True everywhere in viz: no gradients flow here, and the
+        # fused kernel keeps this jitted program small (bit-identical
+        # output; the TPU worker has a hard resident-program budget)
         viz["rendered_img_base"] = self.renderer(
-            base_flame["vertices"], base_out["cam"]
+            base_flame["vertices"], base_out["cam"], inference=True
         )["rendered_img"]
 
         zero_flame = self.flame(enc_out, zero_expression=True, zero_pose=True)
         viz["rendered_img_zero"] = self.renderer(
-            zero_flame["vertices"], zero_cam
+            zero_flame["vertices"], zero_cam, inference=True
         )["rendered_img"]
 
         # MICA teacher panels (base_trainer.py:196-216): zero-pose render of
@@ -766,7 +794,7 @@ class SmirkSystem:
                 mica_out, zero_expression=True, zero_pose=True
             )
             viz["rendered_img_mica_zero"] = self.renderer(
-                mica_flame["vertices"], zero_cam
+                mica_flame["vertices"], zero_cam, inference=True
             )["rendered_img"]
             viz["img_mica"] = jax.image.resize(
                 batch["img_mica"],

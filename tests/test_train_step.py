@@ -200,11 +200,15 @@ def test_training_reduces_landmark_loss(tiny_system):
 
     old = system.config
     old_tx = system.enc_tx
+    old_lr = system.enc_lr
     system.config = cfg
+    # flat 1e-3 LR: enc_tx yields the adam direction, enc_lr the step size
+    # (the schedule is indexed by state.step — see the LR quirk in PARITY.md)
     system.enc_tx = optax.multi_transform(
-        {"train": optax.adam(1e-3), "freeze": optax.set_to_zero()},
+        {"train": optax.scale_by_adam(), "freeze": optax.set_to_zero()},
         system._encoder_labels,
     )
+    system.enc_lr = lambda s: 1e-3
     system._train_step = jax.jit(
         system._step_impl, static_argnames=("parity", "train")
     )
@@ -222,6 +226,7 @@ def test_training_reduces_landmark_loss(tiny_system):
     finally:
         system.config = old
         system.enc_tx = old_tx
+        system.enc_lr = old_lr
         system._train_step = jax.jit(
             system._step_impl, static_argnames=("parity", "train")
         )
@@ -452,3 +457,29 @@ def test_split_step_mode_matches_fused(tiny_system):
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
         assert "second_path" in split_aux
+
+
+def test_lr_schedule_indexed_by_iteration_not_update_count(tiny_system):
+    """Reference semantics (smirk_trainer.py:396-397): ONE cosine-schedule
+    LR per training iteration, shared by the phase-1 update and the
+    unfrozen cycle-path update. The schedule must be indexed by state.step,
+    not by optax's internal per-update count (which advances ~1.5x per
+    iteration with the cycle on)."""
+    system, state = tiny_system
+    calls = []
+    orig_enc, orig_gen = system.enc_lr, system.gen_lr
+    system.enc_lr = lambda s: (calls.append(("enc", int(s))), orig_enc(s))[1]
+    system.gen_lr = lambda s: (calls.append(("gen", int(s))), orig_gen(s))[1]
+    try:
+        batch = make_batch(np.random.default_rng(3))
+        st = state.replace(step=state.step + 7)
+        # eager (non-jit) _step_impl so the spy sees concrete step values;
+        # parity=1 -> encoder also updates in the cycle path
+        system._step_impl(st, batch, jax.random.PRNGKey(0), parity=1,
+                          train=True)
+    finally:
+        system.enc_lr, system.gen_lr = orig_enc, orig_gen
+    # enc: phase 1 + phase 2 (unfrozen); gen: phase 1 only — all at step 7
+    assert calls.count(("enc", 7)) == 2
+    assert calls.count(("gen", 7)) == 1
+    assert all(s == 7 for _, s in calls)
