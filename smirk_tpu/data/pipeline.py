@@ -41,8 +41,15 @@ class MixedDatasetSampler:
         offsets = np.cumsum([0] + list(self.sizes[:-1]))
         cols = []
         for size, pb, off in zip(self.sizes, self.per_batch, offsets):
-            if pb == 0 or size == 0:
+            if pb == 0:
                 continue
+            if size == 0:
+                # silently dropping the quota would shrink every batch below
+                # batch_size and break fixed-shape jit downstream
+                raise ValueError(
+                    f"dataset with per-batch quota {pb} is empty; fix the "
+                    "ratios or the dataset path"
+                )
             cols.append(
                 off + self.rng.integers(0, size, (self.n_batches, pb))
             )
@@ -70,6 +77,8 @@ def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     are folded into the batch axis -> (sum K_i, ...). Mixed window/frame
     batches stay rectangular: single frames become K=1 windows."""
     samples = [s for s in samples if s is not None]
+    if not samples:
+        return None  # loader skips fully-bad batches
     keys = samples[0].keys()
     if all(np.asarray(s["img"]).ndim == 3 for s in samples):
         return {k: np.stack([np.asarray(s[k]) for s in samples])
@@ -101,23 +110,36 @@ class DataLoader:
 
     def __iter__(self):
         batches = list(iter(self.batch_sampler))
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         task_q: "queue.Queue" = queue.Queue()
-        results: Dict[int, Dict] = {}
-        lock = threading.Lock()
+        results: Dict[int, Optional[Dict]] = {}
+        cond = threading.Condition()
+        errors: List[BaseException] = []
+        # bounds (in-flight + uncollected) batches so workers cannot race an
+        # entire epoch into memory; acquired BEFORE taking a task, so the
+        # oldest outstanding batch always holds a permit (no deadlock)
+        permits = threading.Semaphore(max(1, self.prefetch) + self.num_workers)
 
         for i, b in enumerate(batches):
             task_q.put((i, b))
 
         def worker():
             while True:
+                permits.acquire()
                 try:
                     i, idxs = task_q.get_nowait()
                 except queue.Empty:
+                    permits.release()
                     return
-                batch = collate([self.dataset[j] for j in idxs])
-                with lock:
+                try:
+                    batch = collate([self.dataset[j] for j in idxs])
+                except BaseException as e:  # propagate with the real cause
+                    with cond:
+                        errors.append(e)
+                        cond.notify_all()
+                    return
+                with cond:
                     results[i] = batch
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -126,19 +148,21 @@ class DataLoader:
 
         served = 0
         while served < len(batches):
-            with lock:
-                batch = results.pop(served, None)
-            if batch is None:
-                if not any(t.is_alive() for t in threads) and served not in results:
-                    with lock:
-                        batch = results.pop(served, None)
-                    if batch is None:
-                        raise RuntimeError("loader workers died early")
-                else:
-                    threading.Event().wait(0.005)
-                    continue
-            yield batch
+            with cond:
+                while (served not in results and not errors
+                       and any(t.is_alive() for t in threads)):
+                    cond.wait(0.1)
+                if errors:
+                    raise RuntimeError(
+                        f"loader worker failed on batch {served}"
+                    ) from errors[0]
+                if served not in results:
+                    raise RuntimeError("loader workers died early")
+                batch = results.pop(served)
+            permits.release()
             served += 1
+            if batch is not None:  # None = every sample in the batch was bad
+                yield batch
 
 
 class SimpleBatchSampler:
@@ -146,6 +170,7 @@ class SimpleBatchSampler:
                  drop_last=True):
         self.n, self.bs, self.shuffle, self.seed = n, batch_size, shuffle, seed
         self.drop_last = drop_last
+        self._epoch = 0
 
     def __len__(self):
         return self.n // self.bs if self.drop_last else -(-self.n // self.bs)
@@ -153,7 +178,11 @@ class SimpleBatchSampler:
     def __iter__(self):
         idx = np.arange(self.n)
         if self.shuffle:
-            np.random.default_rng(self.seed).shuffle(idx)
+            # fresh permutation per epoch (torch DataLoader semantics);
+            # still deterministic given (seed, epoch index)
+            epoch = self._epoch
+            self._epoch += 1
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
         for i in range(len(self)):
             yield idx[i * self.bs:(i + 1) * self.bs].tolist()
 

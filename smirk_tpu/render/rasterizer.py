@@ -95,6 +95,7 @@ def rasterize_coverage_jnp(
     (B,H,W) int32 (-1 empty), zbuf (B,H,W) f32 (BIG_Z empty))."""
     B, F = face_verts.shape[:2]
     H = W = image_size
+    row_chunk = min(row_chunk, H)
     xs, ys = _pixel_centers(image_size)
 
     def per_image(fv):  # fv (F,3,3)
@@ -116,9 +117,26 @@ def rasterize_coverage_jnp(
             bf = jnp.where(bz >= BIG_Z, -1, best).astype(jnp.int32)
             return bf, bz
 
-        rows = jnp.arange(0, H, row_chunk)
+        # ceil division: for H not divisible by row_chunk the last start is
+        # clamped by dynamic_slice (rows re-computed twice, harmless) and the
+        # padded result is cropped back to H below
+        n_chunks = -(-H // row_chunk)
+        rows = jnp.minimum(
+            jnp.arange(n_chunks) * row_chunk, max(0, H - row_chunk)
+        )
         bf, bz = jax.lax.map(per_rows, rows)
-        return bf.reshape(H, W), bz.reshape(H, W)
+        if n_chunks * row_chunk == H:
+            return bf.reshape(H, W), bz.reshape(H, W)
+        # overlapping last chunk: stitch the tail explicitly
+        body_rows = (n_chunks - 1) * row_chunk  # >= 1 chunk: row_chunk <= H
+        tail_off = body_rows - (H - row_chunk)
+        bf_full = jnp.concatenate(
+            [bf[:-1].reshape(body_rows, W), bf[-1][tail_off:]]
+        )
+        bz_full = jnp.concatenate(
+            [bz[:-1].reshape(body_rows, W), bz[-1][tail_off:]]
+        )
+        return bf_full, bz_full
 
     return jax.vmap(per_image)(face_verts)
 
@@ -204,8 +222,9 @@ def _pad_bins(bins, counts, capacity, k, T):
 def bin_faces_flat(
     face_verts: jnp.ndarray, image_size: int, capacity: int,
     approx: Optional[float] = None,
-) -> jnp.ndarray:
-    """Assign triangles to pixel tiles by bounding box. -> (B, Tp, C) int32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Assign triangles to pixel tiles by bounding box.
+    -> (bins (B, Tp, C) int32, counts (B, Tp) int32) with bins
     -1 padded, where T = (H/TILE_ROWS)*(Wpad/TILE_COLS) and Tp rounds T up to
     a multiple of 8.
 
@@ -280,7 +299,7 @@ def bin_faces_hier(
     band_tiles: int = BAND_TILES,
     coarse_capacity: int = COARSE_CAPACITY,
     approx: Optional[float] = None,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-level binning with the same output contract as bin_faces_flat.
 
     Level 1 compacts faces into horizontal bands of `band_tiles` row-tiles
@@ -310,6 +329,8 @@ def bin_faces_hier(
     if keep is not None:
         ov_band = ov_band & keep[:, None, :]
     C1 = min(coarse_capacity, F)
+    if approx is None:  # same global fallback as bin_faces_flat
+        approx = _BIN_APPROX
     if approx is not None:
         # approx_max_k dodges the exact top_k large-k slow path (42ms at
         # k=1024) and still returns its survivors depth-sorted
@@ -402,7 +423,7 @@ def set_bin_mode(hier: bool, approx: Optional[float] = None) -> None:
 def bin_faces(
     face_verts: jnp.ndarray, image_size: int, capacity: int,
     approx: Optional[float] = None,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     F = face_verts.shape[1]
     ty = -(-image_size // TILE_ROWS)
     # hierarchy only pays off when the coarse list is a real reduction and

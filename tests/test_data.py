@@ -110,3 +110,60 @@ def test_landmarks_interpolate_tracks():
     np.testing.assert_allclose(out[2], [[2.0, 4.0]])  # linear gap fill
     np.testing.assert_allclose(out[5], c)  # tail extension
     assert landmarks_interpolate([None, None]) is None
+
+
+def test_loader_propagates_worker_errors_and_bounds_prefetch():
+    from smirk_tpu.data.pipeline import DataLoader, SimpleBatchSampler
+
+    class Bad:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt sample 5")
+            return {"img": np.zeros((4, 4, 3), np.float32)}
+
+    loader = DataLoader(Bad(), SimpleBatchSampler(16, 4), num_workers=2)
+    try:
+        list(iter(loader))
+        raise AssertionError("expected loader error")
+    except RuntimeError as e:
+        assert "corrupt sample 5" in repr(e.__cause__)
+
+
+def test_loader_skips_all_none_batches():
+    from smirk_tpu.data.pipeline import DataLoader, SimpleBatchSampler
+
+    class Sparse:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return None if i < 4 else {"img": np.full((2, 2, 3), i, np.float32)}
+
+    loader = DataLoader(Sparse(), SimpleBatchSampler(8, 4), num_workers=2)
+    batches = list(iter(loader))
+    assert len(batches) == 1  # the all-None batch is skipped, not crashed
+    assert batches[0]["img"].shape == (4, 2, 2, 3)
+
+
+def test_simple_sampler_reshuffles_per_epoch():
+    from smirk_tpu.data.pipeline import SimpleBatchSampler
+
+    s = SimpleBatchSampler(64, 8, shuffle=True, seed=3)
+    e0 = [tuple(b) for b in s]
+    e1 = [tuple(b) for b in s]
+    assert e0 != e1  # fresh permutation per epoch
+    s2 = SimpleBatchSampler(64, 8, shuffle=True, seed=3)
+    assert [tuple(b) for b in s2] == e0  # still deterministic per (seed, epoch)
+
+
+def test_mixed_sampler_rejects_empty_dataset_with_quota():
+    import pytest as _pytest
+
+    from smirk_tpu.data.pipeline import MixedDatasetSampler
+
+    s = MixedDatasetSampler([100, 0], [0.5, 0.5], 8, 64)
+    with _pytest.raises(ValueError, match="empty"):
+        list(iter(s))

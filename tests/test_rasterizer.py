@@ -624,3 +624,35 @@ def test_fused_rejects_sort_tiles_with_compact():
     with pytest.raises(ValueError, match="sort_tiles"):
         R.rasterize_normals_fused(fv, fn, 32, capacity=64, interpret=True,
                                   sort_tiles=True, compact=16)
+
+
+def test_coverage_jnp_non_multiple_row_chunk():
+    """image_size not divisible by row_chunk (and smaller than it): the
+    chunked lax.map path must stitch the clamped last chunk back to exactly
+    H rows, matching a single-chunk run bit-for-bit."""
+    rng = np.random.default_rng(0)
+    fv = jnp.asarray(rng.normal(0, 0.5, (2, 30, 3, 3)).astype(np.float32))
+    for s in (100, 10, 17):
+        p2f, zb = R.rasterize_coverage_jnp(fv, s)
+        assert p2f.shape == (2, s, s)
+        p2f_ref, zb_ref = R.rasterize_coverage_jnp(fv, s, row_chunk=s)
+        np.testing.assert_array_equal(np.asarray(p2f), np.asarray(p2f_ref))
+        np.testing.assert_allclose(np.asarray(zb), np.asarray(zb_ref))
+
+
+def test_bin_mode_approx_applies_to_hier_branch():
+    """set_bin_mode(hier, approx): the global approx fallback must reach
+    bin_faces_hier, not just the flat branch (a silent exact-top_k there
+    defeats the knob's purpose)."""
+    rng = np.random.default_rng(1)
+    fv = jnp.asarray(rng.normal(0, 0.4, (1, 700, 3, 3)).astype(np.float32))
+    try:
+        R.set_bin_mode(False, 0.95)
+        flat_b, flat_c = R.bin_faces_flat(fv, 64, 64)
+        hier_b, hier_c = R.bin_faces_hier(fv, 64, 64, coarse_capacity=256)
+        # both paths ran with approx from the global: the coarse candidate
+        # selection is approx_max_k, so outputs are well-formed and counts
+        # bounded by capacity
+        assert int(jnp.max(flat_c)) <= 64 and int(jnp.max(hier_c)) <= 64
+    finally:
+        R.set_bin_mode(False, None)
