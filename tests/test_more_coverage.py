@@ -129,3 +129,45 @@ def test_demo_video_frame_dir(tmp_path, monkeypatch):
         assert os.path.getsize(out / "grid.mp4") > 0
     panel = np.asarray(Image.open(out / frames_out[0]))
     assert panel.shape[1] == 2 * panel.shape[0]  # [crop | render]
+
+
+def test_demo_video_crop_with_generator(tmp_path, monkeypatch):
+    """--crop + --use_smirk_generator together: the crop loop must not
+    clobber the masking-module alias the generator closure uses (regression:
+    a local named M shadowed `masking as M` and the first flush crashed)."""
+    from smirk_tpu.models import mobilenetv3 as mnv3
+    from PIL import Image
+
+    monkeypatch.setitem(mnv3.ARCHS, "tf_mobilenetv3_small_minimal_100",
+                        (TINY_SMALL, 40))
+    monkeypatch.setitem(mnv3.ARCHS, "tf_mobilenetv3_large_minimal_100",
+                        (TINY_LARGE, 48))
+    from smirk_tpu.cli import demo_video
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    rng = np.random.default_rng(1)
+    n = 3
+    for i in range(n):
+        Image.fromarray(
+            (rng.random((120, 100, 3)) * 255).astype(np.uint8)
+        ).save(frames / f"f_{i:03d}.png")
+    # precomputed mediapipe tracks drive the crop path without mediapipe
+    th = np.linspace(0, 2 * np.pi, 478, endpoint=False)
+    lmk = np.stack([50 + 25 * np.cos(th), 60 + 30 * np.sin(th)], 1)
+    tracks = np.stack([lmk + i for i in range(n)]).astype(np.float32)
+    np.save(tmp_path / "tracks.npy", tracks)
+
+    out = tmp_path / "out"
+    demo_video.main([
+        "--input_path", str(frames),
+        "--landmarks", str(tmp_path / "tracks.npy"),
+        "--out_path", str(out),
+        "--batch", "2",
+        "--crop", "--use_smirk_generator",
+    ])
+    jpgs = sorted(f for f in os.listdir(out) if f.endswith(".jpg"))
+    assert len(jpgs) == n
+    panel = np.asarray(Image.open(out / jpgs[0]))
+    # generator adds the reconstruction panel: [crop | render | recon]
+    assert panel.shape[1] == 3 * panel.shape[0]
