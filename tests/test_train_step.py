@@ -483,3 +483,25 @@ def test_lr_schedule_indexed_by_iteration_not_update_count(tiny_system):
     assert calls.count(("enc", 7)) == 2
     assert calls.count(("gen", 7)) == 1
     assert all(s == 7 for _, s in calls)
+
+
+def test_generator_reduces_reconstruction_loss(tiny_system):
+    """The analysis-by-synthesis core actually learns: with the correct
+    mask polarity (generator sees background + sparse hints, PARITY.md),
+    the generator's L1 reconstruction loss decreases over 20 steps."""
+    system, _ = tiny_system
+    old_lr = system.gen_lr
+    system.gen_lr = lambda s: 5e-3  # flat boosted LR for a decisive signal
+    try:
+        s = system.init_state(jax.random.PRNGKey(2))
+        batch = make_batch(np.random.default_rng(2))
+        k = jax.random.PRNGKey(2)
+        first = last = None
+        for i in range(20):
+            s, m, _ = system.train_step(s, batch, k, parity=i)
+            if first is None:
+                first = float(m["reconstruction_loss"])
+            last = float(m["reconstruction_loss"])
+        assert last < 0.95 * first, (first, last)
+    finally:
+        system.gen_lr = old_lr
