@@ -88,7 +88,10 @@ def _run_with_retries():
     hangs). Run the measurement in child processes — a dead worker
     poisons the jax client for the whole process — with bounded retries,
     forwarding the child's final JSON line."""
-    attempts = int(os.environ.get("SMIRK_BENCH_ATTEMPTS", "3"))
+    # worker recovery after a crash takes 10-40 min (PARITY.md): 5 attempts
+    # with escalating sleeps (3/6/12/20 min) span the whole window
+    attempts = int(os.environ.get("SMIRK_BENCH_ATTEMPTS", "5"))
+    sleeps = [180, 360, 720, 1200]
     env = dict(os.environ, SMIRK_BENCH_INNER="1")
     last = ""
     for i in range(attempts):
@@ -107,7 +110,7 @@ def _run_with_retries():
         print(f"bench attempt {i + 1}/{attempts} failed: {last}",
               file=sys.stderr, flush=True)
         if i + 1 < attempts:
-            time.sleep(180)
+            time.sleep(sleeps[min(i, len(sleeps) - 1)])
     print(f"bench failed after {attempts} attempts: {last}", file=sys.stderr)
     return 1
 
