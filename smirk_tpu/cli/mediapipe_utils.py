@@ -40,6 +40,8 @@ def _get_detector():
 def run_mediapipe(image: np.ndarray) -> Optional[np.ndarray]:
     """RGB uint8 (H,W,3) -> (478,3) pixel-space landmarks or None."""
     detector, mp = _get_detector()
+    # mp.Image requires C-contiguous uint8; callers often pass BGR->RGB views
+    image = np.ascontiguousarray(image, dtype=np.uint8)
     mp_img = mp.Image(image_format=mp.ImageFormat.SRGB, data=image)
     res = detector.detect(mp_img)
     if not res.face_landmarks:

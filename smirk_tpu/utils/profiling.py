@@ -32,8 +32,7 @@ class Timer:
 
     def __call__(self, *args, **kwargs) -> float:
         for _ in range(self.warmup):
-            out = self.fn(*args, **kwargs)
-        jax.block_until_ready(out)
+            jax.block_until_ready(self.fn(*args, **kwargs))
         times = []
         for _ in range(self.iters):
             t0 = time.perf_counter()

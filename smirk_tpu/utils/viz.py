@@ -16,7 +16,9 @@ def draw_keypoints(img: np.ndarray, landmarks: np.ndarray,
     """img (H,W,3) float [0,1]; landmarks (K,2) in [-1,1] NDC."""
     out = (img * 255).clip(0, 255).astype(np.uint8).copy()
     H, W = out.shape[:2]
-    pts = (landmarks * (W // 2) + W // 2).astype(int)
+    # per-axis NDC -> pixel mapping (y scales with H, not W)
+    pts = np.stack([landmarks[:, 0] * (W // 2) + W // 2,
+                    landmarks[:, 1] * (H // 2) + H // 2], 1).astype(int)
     for x, y in pts:
         x0, x1 = max(0, x - radius), min(W, x + radius + 1)
         y0, y1 = max(0, y - radius), min(H, y + radius + 1)

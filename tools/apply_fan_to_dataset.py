@@ -43,6 +43,9 @@ def main():
         if not f.lower().endswith((".png", ".jpg", ".jpeg")):
             continue
         image = cv2.imread(os.path.join(args.input_dir, f))
+        if image is None:  # corrupt/truncated file: skip, don't abort the run
+            print(f"[warn] unreadable image skipped: {f}")
+            continue
         faces = detector(image, rgb=False)
         landmarks, _ = fan(image, faces, rgb=False)
         np.save(

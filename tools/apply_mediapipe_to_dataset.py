@@ -43,7 +43,8 @@ def process_video(args):
         ret, frame = cap.read()
         if not ret:
             break
-        lmk = run_mediapipe(frame[..., ::-1])
+        # mp.Image requires C-contiguous data; [..., ::-1] is a view
+        lmk = run_mediapipe(np.ascontiguousarray(frame[..., ::-1]))
         if lmk is None:
             ok = False
             break

@@ -38,11 +38,21 @@ def gather(lrs3_path, landmarks_path, folders, split):
 def main():
     lrs3_path, landmarks_path = sys.argv[1], sys.argv[2]
     out = sys.argv[3] if len(sys.argv) > 3 else "assets/LRS3_lists.pkl"
-    trainval = sorted(os.listdir(os.path.join(lrs3_path, "trainval")))
-    rng = random.Random(42)
-    rng.shuffle(trainval)
-    n_val = int(0.2 * len(trainval))
-    val_f, train_f = trainval[:n_val], trainval[n_val:]
+    # reference split (data_utils.py:105-110): sklearn train_test_split
+    # with random_state=42 over the raw (unsorted) listdir — reproduce it
+    # exactly so train/val membership matches reference-trained runs
+    trainval = list(os.listdir(os.path.join(lrs3_path, "trainval")))
+    try:
+        from sklearn.model_selection import train_test_split
+
+        train_f, val_f = train_test_split(trainval, test_size=0.2,
+                                          random_state=42)
+    except ImportError:  # deterministic fallback (split differs from ref)
+        trainval = sorted(trainval)
+        rng = random.Random(42)
+        rng.shuffle(trainval)
+        n_val = int(0.2 * len(trainval))
+        val_f, train_f = trainval[:n_val], trainval[n_val:]
     test_f = sorted(os.listdir(os.path.join(lrs3_path, "test")))
     lists = [
         gather(lrs3_path, landmarks_path, train_f, "trainval"),

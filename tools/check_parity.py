@@ -32,6 +32,10 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    if os.environ.get("SMIRK_PLATFORM"):  # see cli/train.py: env alone
+        # cannot override the sitecustomize-registered platform
+        jax.config.update("jax_platforms", os.environ["SMIRK_PLATFORM"])
     import jax.numpy as jnp
 
     from smirk_tpu import assets
@@ -45,6 +49,10 @@ def main():
               " vertex parity vs the reference is NOT meaningful until the"
               " licensed model is installed (quick_install.sh).")
 
+    ref = None
+    if args.ref_fixture and os.path.isfile(args.ref_fixture):
+        ref = dict(np.load(args.ref_fixture))
+
     if args.image:
         from PIL import Image
 
@@ -52,6 +60,12 @@ def main():
             Image.open(args.image).convert("RGB").resize((224, 224)),
             np.float32,
         )[None] / 255.0
+    elif ref is not None and "img" in ref:
+        # the fixture stores the exact input its outputs were computed from
+        img = np.asarray(ref["img"], np.float32)
+        if img.ndim == 3:
+            img = img[None]
+        print("[ok] using the fixture's stored input image")
     else:
         img = np.random.default_rng(0).random((1, 224, 224, 3), np.float32)
 
@@ -75,10 +89,7 @@ def main():
     out = system.infer(state.encoder, jnp.asarray(img))
     ours = {k: np.asarray(v) for k, v in out.items()}
 
-    ref = None
-    if args.ref_fixture and os.path.isfile(args.ref_fixture):
-        ref = dict(np.load(args.ref_fixture))
-    else:
+    if ref is None:
         ref = _run_reference(img, args.checkpoint) if have_ckpt else None
 
     if ref is None:
@@ -91,6 +102,17 @@ def main():
     def rmse(a, b):
         return float(np.sqrt(np.mean((a - b) ** 2)))
 
+    # the reference stack emits RAW 3D FLAME landmarks; our infer output is
+    # already projected to 2D NDC (renderer override). Project the reference
+    # landmarks with the same orthographic convention before comparing —
+    # the projection itself has its own parity tests (test suite, camera).
+    ref_lmk = np.asarray(ref["landmarks_mp"])
+    if ref_lmk.shape[-1] == 3:
+        from smirk_tpu.render import camera as camera_lib
+
+        ref_lmk = np.asarray(camera_lib.project_landmarks(
+            jnp.asarray(ref_lmk), jnp.asarray(ref["cam"])))
+
     report = {
         "expression_rmse": rmse(ours["expression_params"],
                                 ref["expression_params"]),
@@ -98,7 +120,7 @@ def main():
         "cam_rmse": rmse(ours["cam"], ref["cam"]),
         "shape_rmse": rmse(ours["shape_params"], ref["shape_params"]),
         "vertex_rmse": rmse(ours["vertices"], ref["vertices"]),
-        "landmarks_mp_rmse": rmse(ours["landmarks_mp"], ref["landmarks_mp"]),
+        "landmarks_mp_rmse": rmse(ours["landmarks_mp"], ref_lmk),
     }
     ok = all(v < 1e-3 for v in report.values())
     for k, v in report.items():
@@ -143,7 +165,10 @@ def _run_reference(img, checkpoint):
         ref["vertices"] = fo["vertices"].numpy()
         ref["landmarks_mp"] = fo["landmarks_mp"].numpy()
         return ref
-    except ImportError:
+    except Exception as e:  # degrade gracefully per the module contract:
+        # missing license-gated assets / state-dict mismatches must not
+        # kill the harness — report and fall back to ours-only output
+        print(f"[warn] reference stack unavailable ({type(e).__name__}: {e})")
         return None
 
 

@@ -23,9 +23,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _extract_log_path(args) -> str:
+    """Resolve the child's log path the same way the CLI will: dotted CLI
+    override first, else the YAML config's train.log_path, else the default
+    (watching the wrong path would mean cold restarts that lose progress)."""
     for a in args:
         if a.startswith("train.log_path="):
             return a.split("=", 1)[1]
+    yamls = [a for a in args if a.endswith((".yaml", ".yml"))]
+    if yamls:
+        try:
+            sys.path.insert(0, REPO)
+            from smirk_tpu.config import load_config
+
+            return load_config(yamls[0]).train.log_path
+        except Exception as e:  # noqa: BLE001 — the child will report it
+            print(f"[supervisor] could not read {yamls[0]}: {e}", flush=True)
     return "logs/1"
 
 
@@ -70,8 +82,16 @@ def supervise(cmd, log_path: str, max_restarts: int = 10,
     while True:
         argv = list(cmd)
         # resume whenever a checkpoint exists (also on the first attempt:
-        # relaunching the supervisor after its own death must be idempotent)
-        if os.path.exists(resume):
+        # relaunching the supervisor after its own death must be idempotent).
+        # A user-supplied resume_state= is a deliberate rollback — never
+        # silently override it (overrides apply in argv order, so appending
+        # ours would win).
+        user_resume = any(str(a).startswith("resume_state=") for a in argv)
+        if user_resume:
+            if attempt == 0:
+                print("[supervisor] honoring user resume_state (auto-resume "
+                      "from last_state.npz disabled for this run)", flush=True)
+        elif os.path.exists(resume):
             argv.append(f"resume_state={resume}")
         run_env = dict(env if env is not None else os.environ)
         if attempt >= 2:
