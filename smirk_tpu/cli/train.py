@@ -205,9 +205,12 @@ def _run_epochs(config, system, state, train_loader, val_loader, mesh,
                     )
                     viz.save_image(grid, os.path.join(
                         log_path, f"{phase}_images/{epoch}_{batch_idx}.jpg"))
+        # resumable full state at EVERY epoch end (supervisor recovery must
+        # never resume from a stale epoch); save_every gates only the
+        # per-epoch model exports, like the reference's save cadence
+        ckpt.save_state(state, os.path.join(log_path, "last_state.npz"))
         if epoch % config.train.save_every == 0:
             ckpt.save_model(state, os.path.join(log_path, f"model_{epoch}.npz"))
-            ckpt.save_state(state, os.path.join(log_path, "last_state.npz"))
 
 
 def _np_or_none(x):

@@ -258,6 +258,31 @@ def load_dataloaders(config, synthetic: bool = False):
         config.train.samples_per_epoch,
         process_index=pidx, process_count=pcount,
     )
+    # Temporal windows (K>1) are folded into the batch axis by collate, so
+    # the jitted step sees B + n_lrs3*(K-1) frames, not config batch_size.
+    # That effective batch must still divide the data-mesh axis, and the
+    # silent change of compiled batch size is worth a loud log line.
+    k = int(getattr(config, "K", 1) or 1)
+    if d.LRS3_temporal_sampling and k > 1 and parts and isinstance(
+            parts[0], D.VideoFrameDataset) and parts[0].K > 1:
+        n_lrs3 = int(sampler.per_batch[0])
+        effective = config.train.batch_size + n_lrs3 * (k - 1)
+        try:
+            import jax
+
+            n_dev = max(1, jax.device_count() // pcount)
+        except Exception:
+            n_dev = 1
+        if effective % n_dev != 0:
+            raise ValueError(
+                f"temporal sampling (K={k}) folds {n_lrs3} LRS3 windows "
+                f"into an effective per-host batch of {effective} frames, "
+                f"which does not divide the {n_dev}-device data mesh; "
+                f"adjust batch_size/K/LRS3_percentage"
+            )
+        print(f"[data] LRS3 temporal K={k}: effective per-host batch = "
+              f"{effective} frames ({n_lrs3} windows + "
+              f"{config.train.batch_size - n_lrs3} single frames)")
     train_loader = DataLoader(train, sampler, config.train.num_workers)
     val_loader = None
     if val_ds is not None:

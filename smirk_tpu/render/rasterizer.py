@@ -627,15 +627,17 @@ def rasterize(
 ):
     """Full differentiable raster: coverage (stop-grad) + interpolation.
 
-    Returns (pixel_vals (B,H,W,D), mask (B,H,W,1), pix_to_face (B,H,W)).
-    On the Pallas path the fused plane kernel evaluates coverage AND the
-    interpolated attribute values in one pass (no per-pixel gathers); its
-    custom-VJP backward reduces pixel-grad moments to faces with a tiled
-    one-hot matmul. `compact` (chunk budget) switches the forward to the
-    compact-list kernel (see _raster_kernel_v7) — same outputs/gradients.
-    """
+    Returns (pixel_vals (B,H,W,D), mask (B,H,W,1), pix_to_face (B,H,W),
+    overflow (B,) int32). On the Pallas path the fused plane kernel
+    evaluates coverage AND the interpolated attribute values in one pass
+    (no per-pixel gathers); its custom-VJP backward reduces pixel-grad
+    moments to faces with a tiled one-hot matmul. `compact` (chunk budget)
+    switches the forward to the compact-list kernel (see _raster_kernel_v7)
+    — same outputs/gradients whenever the occupied chunks fit the budget;
+    overflow counts the chunks that did NOT fit (zeros otherwise)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    B = face_verts.shape[0]
     D = attributes.shape[-1]
     if use_pallas and 13 + 3 * D <= REC5_LANES:
         interpret = default_interpret()
@@ -652,12 +654,12 @@ def rasterize(
             face_verts, attributes, p2f, p2slot, bins,
             image_size, capacity, interpret,
         )
-        return vals, mask, p2f
+        return vals, mask, p2f, jnp.zeros((B,), jnp.int32)
     pix_to_face, _ = rasterize_coverage_jnp(
         jax.lax.stop_gradient(face_verts), image_size
     )
     vals, mask = interpolate_attributes(pix_to_face, face_verts, attributes)
-    return vals, mask, pix_to_face
+    return vals, mask, pix_to_face, jnp.zeros((B,), jnp.int32)
 
 
 # --------------------------------------------------------------------------
@@ -1054,14 +1056,20 @@ def _compact_plan(counts: jnp.ndarray, cmax: int):
     index building cost ~20ms/batch64), so the slot extraction runs in a
     Pallas kernel (_compact_faces_kernel) instead.
 
-    Returns (starts, ends, tof, meta): starts/ends (B,Tp) int32 chunk
-    windows clipped to cmax; tof (B,cmax) tile id per compact chunk;
-    meta (B*8,1) int32 with row 0 = total chunk count (SMEM-friendly)."""
+    Returns (starts, ends, tof, meta, dropped): starts/ends (B,Tp) int32
+    chunk windows clipped to cmax; tof (B,cmax) tile id per compact chunk;
+    meta (B*8,1) int32 with row 0 = total chunk count (SMEM-friendly);
+    dropped (B,) int32 = occupied chunks beyond the budget. dropped > 0
+    means trailing tiles were clipped to EMPTY windows (no faces rendered,
+    zero gradients there) — callers must surface it (the renderer exports
+    it as `raster_overflow` and the trainer logs its batch max) so an
+    atypical face scale/mesh can't silently corrupt training renders."""
     B, Tp = counts.shape
     CH = V3_CHUNK
     cc = -(-counts // CH)
     ends = jnp.cumsum(cc, axis=1)
     starts = ends - cc
+    dropped = jnp.maximum(ends[:, -1] - cmax, 0).astype(jnp.int32)
     total = jnp.minimum(ends[:, -1:], cmax)
     c_ids = jnp.arange(cmax, dtype=jnp.int32)
     tof = jax.vmap(lambda e: jnp.searchsorted(e, c_ids, side="right"))(
@@ -1076,6 +1084,7 @@ def _compact_plan(counts: jnp.ndarray, cmax: int):
         jnp.minimum(ends, cmax).astype(jnp.int32),
         tof,
         meta,
+        dropped,
     )
 
 
@@ -1405,7 +1414,7 @@ def _raster_kernel_v6(counts_ref, recs_ref, face_out, z_out,
     jax.jit,
     static_argnames=(
         "image_size", "capacity", "interpret", "merged", "tps", "sort_tiles",
-        "compact", "bin_approx",
+        "compact", "bin_approx", "return_overflow",
     ),
 )
 def rasterize_normals_fused(
@@ -1419,12 +1428,15 @@ def rasterize_normals_fused(
     sort_tiles: bool = False,
     compact: Optional[int] = None,
     bin_approx: Optional[float] = None,
+    return_overflow: bool = False,
 ):
     """Fused inference raster: -> (normal image (B,H,W,3), pix_to_face,
     zbuf). Non-differentiable (inference/visualization path; training uses
     interpolate_attributes for gradients). bin_approx: recall target for
     approx_max_k binning (inference-quality knob; the differentiable
-    training raster keeps exact top_k)."""
+    training raster keeps exact top_k). return_overflow appends a (B,)
+    int32 count of compact chunks dropped past the budget (zeros on the
+    padded path) — see _compact_plan."""
     assert capacity % V3_CHUNK == 0
     if sort_tiles and compact is not None:
         raise ValueError(
@@ -1464,11 +1476,12 @@ def rasterize_normals_fused(
         jnp.arange(F, dtype=face_verts.dtype)[None]
     )
     P = TILE_ROWS * TILE_COLS
+    overflow = jnp.zeros((B,), jnp.int32)
     if compact is not None:
         CH = V3_CHUNK
         CPT = capacity // CH
         compact = -(-compact // 8) * 8  # SMEM rows are 8-aligned
-        starts, ends, tof, meta = _compact_plan(counts, compact)
+        starts, ends, tof, meta, overflow = _compact_plan(counts, compact)
         faces = _compact_faces(
             meta, tof, starts, bins, B, Tp, CPT, compact, interpret
         )
@@ -1543,6 +1556,8 @@ def rasterize_normals_fused(
     p2f = to_image(outs[0])
     zbuf = to_image(outs[1])
     normals = jnp.stack([to_image(o) for o in outs[2:5]], axis=-1)
+    if return_overflow:
+        return normals, p2f, zbuf, overflow
     return normals, p2f, zbuf
 
 
@@ -1687,7 +1702,7 @@ def _fold_kernel(bins_ref, ps_ref, out_ref, *, TPS, NF):
             out_ref[0, fbase:fbase + FOLD_FC, :] += part
 
 
-def _fold_matmul(per_slot, bins, F):
+def _fold_matmul(per_slot, bins, F, interpret=False):
     B, Tp, C, CHN = per_slot.shape
     ids = jnp.where(bins >= 0, bins, F).astype(jnp.int32)
     Fp = -(-(F + 1) // FOLD_FC) * FOLD_FC  # +1: dropped ids -> row F
@@ -1708,7 +1723,7 @@ def _fold_matmul(per_slot, bins, F):
         ],
         out_specs=pl.BlockSpec((1, Fp, CHN), lambda b, g: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Fp, CHN), jnp.float32),
-        interpret=default_interpret(),
+        interpret=interpret,
     )(ids, per_slot)
     return out[:, :F]
 
@@ -1717,12 +1732,13 @@ def fold_slots_to_faces(
     per_slot: jnp.ndarray,  # (B, Tp, C, CHN) per-(tile,slot) sums
     bins: jnp.ndarray,  # (B, Tp, C) face ids, -1 = empty
     F: int,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """-> (B, F, CHN): per-face totals of the per-(tile,slot) payloads."""
     B, Tp, C, CHN = per_slot.shape
     N = Tp * C
     if _FOLD_MODE == "matmul":
-        return _fold_matmul(per_slot, bins, F)
+        return _fold_matmul(per_slot, bins, F, interpret)
     ids = jnp.where(bins >= 0, bins, F).reshape(B, N)
     flat = per_slot.reshape(B, N, CHN)
     if _FOLD_MODE == "scatter":
@@ -1894,7 +1910,7 @@ def _iaf_bwd(image_size, capacity, interpret, res, cts):
     per_slot = segment_reduce_tiles(slots_t, gpx_t, capacity, interpret)
 
     # fold per-(tile,slot) sums into per-face grads; out-of-range -> dropped
-    folded = fold_slots_to_faces(per_slot, bins, F)
+    folded = fold_slots_to_faces(per_slot, bins, F, interpret)
     dfv = folded[..., :9]
     dattr = folded[..., 9:]
     return (dfv.reshape(B, F, 3, 3), dattr.reshape(B, F, 3, D), None, None,
@@ -2056,7 +2072,10 @@ def _raster_kernel_v5c(starts_ref, ends_ref, recs_ref, face_out, z_out,
 
 def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
              compact=None):
-    """-> (vals (B,H,W,D), pix_to_face, zbuf, pix_to_slot, bins)."""
+    """-> (vals (B,H,W,D), pix_to_face, zbuf, pix_to_slot, bins, overflow).
+
+    overflow (B,) int32: compact chunks dropped past the budget (zeros on
+    the padded path) — see _compact_plan; unused consumers are DCE'd."""
     assert capacity % V3_CHUNK == 0
     B, F = face_verts.shape[:2]
     D = attributes.shape[-1]
@@ -2082,11 +2101,12 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
         jax.ShapeDtypeStruct((B, Tp, P), jnp.float32),
         jax.ShapeDtypeStruct((B, Tp, P), jnp.int32),
     ] + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * D
+    overflow = jnp.zeros((B,), jnp.int32)
     if compact is not None:
         CH = V3_CHUNK
         CPT = capacity // CH
         compact = -(-compact // 8) * 8
-        starts, ends, tof, meta = _compact_plan(counts, compact)
+        starts, ends, tof, meta, overflow = _compact_plan(counts, compact)
         faces = _compact_faces(
             meta, tof, starts, bins, B, Tp, CPT, compact, interpret
         )
@@ -2157,7 +2177,7 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
     p2slot_tiles = outs[2]
     vals = jnp.stack([to_image(o) for o in outs[3:]], axis=-1)
     Tp8 = -(-T // 8) * 8  # see _v3_impl: backward works at the 8-padded count
-    return vals, p2f, zbuf, p2slot_tiles, bins[:, :Tp8]
+    return vals, p2f, zbuf, p2slot_tiles, bins[:, :Tp8], overflow
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -2165,29 +2185,32 @@ def rasterize_planes_diff(
     face_verts, attributes, image_size: int, capacity: int,
     interpret: bool = False, compact: Optional[int] = None,
 ):
-    """Fused differentiable raster: (vals (B,H,W,D), mask, pix_to_face).
+    """Fused differentiable raster:
+    (vals (B,H,W,D), mask, pix_to_face, overflow).
 
     Value- and gradient-equivalent to coverage + interpolate_attributes
     (gradients to face_verts flow through the barycentrics only; coverage is
     non-differentiable, as in PyTorch3D hard rasterization), but with no
-    per-pixel gathers in either direction.
-    """
-    vals, p2f, _, _, _ = _v5_impl(
+    per-pixel gathers in either direction. overflow (B,) int32 counts
+    compact chunks dropped past the budget (zeros when compact is None) —
+    when > 0, trailing tiles rendered EMPTY and carry no gradients, so
+    training callers must log/monitor it (see _compact_plan)."""
+    vals, p2f, _, _, _, overflow = _v5_impl(
         jax.lax.stop_gradient(face_verts), jax.lax.stop_gradient(attributes),
         image_size, capacity, interpret, compact,
     )
     mask = (p2f >= 0)[..., None].astype(vals.dtype)
-    return vals, mask, p2f
+    return vals, mask, p2f, overflow
 
 
 def _rpd_fwd(face_verts, attributes, image_size, capacity, interpret,
              compact):
-    vals, p2f, _, p2slot, bins = _v5_impl(
+    vals, p2f, _, p2slot, bins, overflow = _v5_impl(
         jax.lax.stop_gradient(face_verts), jax.lax.stop_gradient(attributes),
         image_size, capacity, interpret, compact,
     )
     mask = (p2f >= 0)[..., None].astype(vals.dtype)
-    return (vals, mask, p2f), (face_verts, attributes, p2slot, bins)
+    return (vals, mask, p2f, overflow), (face_verts, attributes, p2slot, bins)
 
 
 def _rpd_bwd(image_size, capacity, interpret, compact, res, cts):
@@ -2205,7 +2228,7 @@ def _rpd_bwd(image_size, capacity, interpret, compact, res, cts):
         p2slot, g_t, capacity, image_size, interpret
     )
 
-    plane_ct = fold_slots_to_faces(per_slot, bins, F)
+    plane_ct = fold_slots_to_faces(per_slot, bins, F, interpret)
     _, vjp = jax.vjp(attr_planes, face_verts, attributes)
     dfv, dattr = vjp(plane_ct)
     return dfv, dattr

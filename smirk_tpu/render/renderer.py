@@ -128,14 +128,22 @@ class Renderer:
             else jax.default_backend() not in ("cpu",)
         )
         render_fn = self.render_inference if use_fused else self.render
-        rendered, mask, pix_to_face = render_fn(vertices, transformed_vertices)
+        rendered, mask, pix_to_face, overflow = render_fn(
+            vertices, transformed_vertices
+        )
         out["rendered_img"] = rendered
         out["rendered_mask"] = mask
         out["pix_to_face"] = pix_to_face
+        # (B,) int32 count of compact-raster chunks dropped past the budget.
+        # 0 = bit-exact render; > 0 = trailing tiles rendered EMPTY (and,
+        # on the training path, carry zero gradients). Training logs the
+        # batch max as `raster_overflow`; watch it on atypical face scales.
+        out["raster_overflow"] = overflow
         return out
 
     def render(self, vertices: jnp.ndarray, transformed_vertices: jnp.ndarray):
-        """vertices + NDC vertices -> (shaded image (B,H,W,3), mask, p2f).
+        """vertices + NDC vertices -> (shaded image (B,H,W,3), mask, p2f,
+        overflow (B,) int32 — dropped compact chunks, 0 = exact).
 
         Mirrors reference Renderer.render (renderer.py:121-168): cut to face
         region, z+10, vertex normals as interpolated attributes, 5-light
@@ -155,7 +163,7 @@ class Renderer:
         face_verts = geometry.face_vertices(sub_tv, self.faces)  # (B,F,3,3)
         # albedo is a constant gray (renderer.py:63), so only the normal
         # attribute needs per-pixel interpolation — halves the gather traffic
-        pixel_vals, mask, pix_to_face = raster_lib.rasterize(
+        pixel_vals, mask, pix_to_face, overflow = raster_lib.rasterize(
             face_verts,
             face_normals,
             self.image_size,
@@ -164,7 +172,7 @@ class Renderer:
             compact=self.raster_compact or None,
         )
         shade = shading.directional_shading(pixel_vals)
-        return shading.GRAY_ALBEDO * shade * mask, mask, pix_to_face
+        return shading.GRAY_ALBEDO * shade * mask, mask, pix_to_face, overflow
 
     def render_inference(self, vertices, transformed_vertices):
         """Gather-free inference render via the fused Pallas kernel
@@ -186,11 +194,12 @@ class Renderer:
         )
         face_normals = geometry.face_vertices(normals, self.faces)
         face_verts = geometry.face_vertices(sub_tv, self.faces)
-        normal_img, pix_to_face, _ = raster_lib.rasterize_normals_fused(
+        normal_img, pix_to_face, _, overflow = raster_lib.rasterize_normals_fused(
             face_verts, face_normals, self.image_size,
             capacity=self.bin_capacity,
             interpret=raster_lib.default_interpret(),
             compact=self.raster_compact or None,
+            return_overflow=True,
             # approximate top-k binning, TPU-native; measured bit-identical
             # output at 16.2 -> 15.2 ms/batch64 (tools/tpu_approx_bin_bench
             # .py). Inference only — the differentiable raster keeps exact
@@ -199,4 +208,4 @@ class Renderer:
         )
         mask = (pix_to_face >= 0)[..., None].astype(normal_img.dtype)
         shade = shading.directional_shading(normal_img)
-        return shading.GRAY_ALBEDO * shade * mask, mask, pix_to_face
+        return shading.GRAY_ALBEDO * shade * mask, mask, pix_to_face, overflow

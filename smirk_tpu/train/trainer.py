@@ -248,6 +248,13 @@ class SmirkSystem:
         )
 
         losses = {}
+        # Monitoring only (never weighted into a loss): max compact-raster
+        # chunks dropped past the budget across the shard. Non-zero means
+        # some tiles rendered EMPTY with zero gradients (see _compact_plan)
+        # — the auto budget keeps ~1.4x headroom, so anything > 0 flags an
+        # atypical face scale/mesh corrupting training renders.
+        losses["raster_overflow"] = jnp.max(
+            rend["raster_overflow"]).astype(jnp.float32)
         losses["landmark_loss_fan"] = masked_landmark_mse(
             rend["landmarks_fan"], batch["landmarks_fan"][..., :2],
             batch["flag_landmarks_fan"],
@@ -552,7 +559,12 @@ class SmirkSystem:
 
         total = cycle * c.train.loss_weights.cycle_loss
         aux = {
-            "losses": {"cycle_loss": cycle},
+            "losses": {
+                "cycle_loss": cycle,
+                # monitoring only — see _loss1's raster_overflow
+                "raster_overflow_2nd": jnp.max(
+                    rend2["raster_overflow"]).astype(jnp.float32),
+            },
             "enc_stats": enc_stats,
             "gen_stats": gen_stats,
             # cycle-path viz (reference '2nd_path' stack, smirk_trainer.py:

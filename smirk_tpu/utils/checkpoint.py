@@ -13,6 +13,7 @@ pending async saves — call it before process exit.
 """
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional
 
@@ -110,6 +111,16 @@ def restore_state(state_template, path: str):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _metadata_has_top_level_key(meta: dict, key: str) -> bool:
+    """True iff an orbax _METADATA tree has a leaf whose keypath STARTS at
+    `key` (first key_metadata entry) — i.e. `key` is a top-level subtree."""
+    for leaf in meta.get("tree_metadata", {}).values():
+        km = leaf.get("key_metadata") or []
+        if km and km[0].get("key") == key:
+            return True
+    return False
+
+
 def save_model(state, path: str) -> None:
     """Model-only export (encoder+generator variables), the equivalent of
     the reference's filtered state_dict save (base_trainer.py:226-233)."""
@@ -129,7 +140,11 @@ def load_model(state, path: str):
     else:  # orbax directory: the pytree structure lives in _METADATA
         meta = os.path.join(os.path.abspath(path), "_METADATA")
         with open(meta) as f:
-            disk_gen = '"generator"' in f.read()
+            tree = json.load(f)
+        # the metadata is a nested dict mirroring the saved pytree; the
+        # generator must be a TOP-LEVEL key (a parameter merely named
+        # '*generator*' inside the encoder tree must not flip this)
+        disk_gen = _metadata_has_top_level_key(tree, "generator")
     want_gen = disk_gen and state.generator is not None
     if disk_gen and not want_gen and not path.endswith(".npz"):
         # orbax StandardRestore requires a structurally-matching template;

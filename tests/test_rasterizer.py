@@ -114,7 +114,7 @@ def test_gradients_flow_to_vertices():
     attr = jnp.ones((1, 1, 3, 1))
 
     def loss(fv_in):
-        vals, mask, _ = R.rasterize(fv_in, attr * fv_in[..., 2:3], 16,
+        vals, mask, _, _ = R.rasterize(fv_in, attr * fv_in[..., 2:3], 16,
                                     use_pallas=False)
         return jnp.sum(vals**2)
 
@@ -395,7 +395,7 @@ def test_planes_diff_forward_matches_interpolate():
     fv = random_mesh(rng, F=40, B=2)
     attr = jnp.asarray(rng.normal(0, 1, (2, 40, 3, 3)).astype(np.float32))
     size, cap = 32, 64
-    vals, mask, p2f = R.rasterize_planes_diff(fv, attr, size, cap, True)
+    vals, mask, p2f, _ = R.rasterize_planes_diff(fv, attr, size, cap, True)
     ref_p2f, _ = R.rasterize_coverage_pallas_v3(fv, size, capacity=cap,
                                                 interpret=True)
     ref_vals, ref_mask = R.interpolate_attributes(ref_p2f, fv, attr)
@@ -420,7 +420,7 @@ def test_planes_diff_gradients_match_plain():
         return jnp.sum(jnp.sin(vals) * vals)
 
     def loss_v5(f, a):
-        vals, _, _ = R.rasterize_planes_diff(f, a, size, cap, True)
+        vals, _, _, _ = R.rasterize_planes_diff(f, a, size, cap, True)
         return jnp.sum(jnp.sin(vals) * vals)
 
     np.testing.assert_allclose(
@@ -442,8 +442,8 @@ def test_rasterize_dispatches_to_v5():
     rng = np.random.default_rng(13)
     fv = random_mesh(rng, F=24, B=1)
     attr = jnp.asarray(rng.normal(0, 1, (1, 24, 3, 3)).astype(np.float32))
-    vals, mask, p2f = R.rasterize(fv, attr, 32, capacity=64, use_pallas=True)
-    ref, refm, refp = R.rasterize_planes_diff(fv, attr, 32, 64, True)
+    vals, mask, p2f, _ = R.rasterize(fv, attr, 32, capacity=64, use_pallas=True)
+    ref, refm, refp, _ = R.rasterize_planes_diff(fv, attr, 32, 64, True)
     np.testing.assert_array_equal(np.asarray(p2f), np.asarray(refp))
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref), rtol=1e-6)
 
@@ -456,13 +456,13 @@ def test_planes_diff_compact_matches_padded():
     fv = random_mesh(rng, F=40, B=2)
     attr = jnp.asarray(rng.normal(0, 1, (2, 40, 3, 3)).astype(np.float32))
     size, cap = 32, 64
-    ref, refm, refp = R.rasterize_planes_diff(fv, attr, size, cap, True)
-    vals, mask, p2f = R.rasterize_planes_diff(fv, attr, size, cap, True, 24)
+    ref, refm, refp, _ = R.rasterize_planes_diff(fv, attr, size, cap, True)
+    vals, mask, p2f, _ = R.rasterize_planes_diff(fv, attr, size, cap, True, 24)
     np.testing.assert_array_equal(np.asarray(refp), np.asarray(p2f))
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(vals))
 
     def loss(f, a, compact):
-        v, m, _ = R.rasterize_planes_diff(f, a, size, cap, True, compact)
+        v, m, _, _ = R.rasterize_planes_diff(f, a, size, cap, True, compact)
         return jnp.sum(jnp.sin(v) * v)
 
     g1 = jax.grad(loss, argnums=(0, 1))(fv, attr, None)
@@ -470,6 +470,74 @@ def test_planes_diff_compact_matches_padded():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_compact_plan_reports_overflow():
+    """_compact_plan counts the occupied chunks dropped past the budget
+    (ADVICE r2: overflow used to be silently clipped — trailing tiles
+    rendered empty with zero gradients and nothing detected it)."""
+    # tile chunk counts: ceil(40/32)+0+ceil(33/32)+ceil(1/32) = 2+2+1 = 5
+    counts = jnp.asarray([[40, 0, 33, 1, 0, 0, 0, 0],
+                          [0, 0, 0, 0, 0, 0, 0, 0]], jnp.int32)
+    *_, dropped = R._compact_plan(counts, 8)
+    assert dropped.tolist() == [0, 0]
+    *_, dropped = R._compact_plan(counts, 4)
+    assert dropped.tolist() == [1, 0]
+    *_, dropped = R._compact_plan(counts, 2)
+    assert dropped.tolist() == [3, 0]
+
+
+def test_planes_diff_overflow_surfaced():
+    """rasterize_planes_diff reports per-image dropped chunks: zero when
+    the budget fits (bit-exact render), positive when it doesn't."""
+    rng = np.random.default_rng(17)
+    fv = random_mesh(rng, F=400, B=2)
+    attr = jnp.asarray(rng.normal(0, 1, (2, 400, 3, 3)).astype(np.float32))
+    size, cap = 32, 128
+    _, _, _, ov_fit = R.rasterize_planes_diff(fv, attr, size, cap, True, 32)
+    assert np.asarray(ov_fit).tolist() == [0, 0]
+    _, _, _, ov_none = R.rasterize_planes_diff(fv, attr, size, cap, True)
+    assert np.asarray(ov_none).tolist() == [0, 0]  # padded path: zeros
+    # an 8-chunk budget is below this mesh's occupied chunks -> reported
+    bins, counts = R.bin_faces(fv, size, cap)
+    occupied = int(np.asarray(-(-counts // R.V3_CHUNK)).sum(axis=1).max())
+    assert occupied > 8, "fixture regression: mesh no longer overflows 8"
+    _, _, _, ov = R.rasterize_planes_diff(fv, attr, size, cap, True, 8)
+    expect = np.maximum(
+        np.asarray(-(-counts // R.V3_CHUNK)).sum(axis=1) - 8, 0)
+    np.testing.assert_array_equal(np.asarray(ov), expect)
+
+
+def test_renderer_exports_raster_overflow():
+    """Renderer.__call__ surfaces `raster_overflow` on BOTH render paths:
+    zeros at the auto budget, positive when the budget is forced tiny."""
+    from smirk_tpu import assets
+    from smirk_tpu.flame import FlameModel
+    from smirk_tpu.render.renderer import Renderer
+
+    bundle = assets.load_all()
+    flame = FlameModel(bundle)
+    B = 1
+    params = {
+        "shape_params": jnp.zeros((B, 300)),
+        "expression_params": jnp.zeros((B, 50)),
+        "pose_params": jnp.zeros((B, 3)),
+        "jaw_params": jnp.zeros((B, 3)),
+        "eyelid_params": jnp.zeros((B, 2)),
+    }
+    out = flame(params)
+    rend = Renderer(bundle, image_size=64, use_pallas=True, bin_capacity=3456)
+    face_v = np.asarray(out["vertices"])[:, rend.kept_vertices]
+    c = face_v.mean(axis=(0, 1))
+    cam = jnp.asarray([[7.0, -c[0], -c[1]]])
+    for inference in (False, True):
+        ok = rend(out["vertices"], cam, inference=inference)
+        assert np.asarray(ok["raster_overflow"]).tolist() == [0]
+    tiny = Renderer(bundle, image_size=64, use_pallas=True,
+                    bin_capacity=3456, raster_compact=16)
+    for inference in (False, True):
+        bad = tiny(out["vertices"], cam, inference=inference)
+        assert int(np.asarray(bad["raster_overflow"])[0]) > 0, inference
 
 
 def test_interpolate_fast_gradients_match_plain():
@@ -512,7 +580,7 @@ def test_planes_diff_capacity_not_multiple_of_128():
     attr = jnp.asarray(rng.normal(0, 1, (1, 24, 3, 3)).astype(np.float32))
 
     def loss(f, a):
-        vals, _, _ = R.rasterize_planes_diff(f, a, 32, 96, True)
+        vals, _, _, _ = R.rasterize_planes_diff(f, a, 32, 96, True)
         return jnp.sum(vals ** 2)
 
     g = jax.grad(loss, argnums=(0, 1))(fv, attr)

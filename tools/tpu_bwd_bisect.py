@@ -132,7 +132,7 @@ def main():
     for mode in ("matmul", "scatter"):
         def vloss(fv, fnrm, _m=mode):
             R.set_fold_mode(_m)
-            vals, mask, p2f = R.rasterize_planes_diff(fv, fnrm, S, cap, False)
+            vals, mask, p2f, _ = R.rasterize_planes_diff(fv, fnrm, S, cap, False)
             return jnp.sum(vals * vals) + jnp.sum(mask)
 
         jE = jax.jit(jax.grad(vloss, argnums=(0, 1)))

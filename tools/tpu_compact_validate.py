@@ -88,7 +88,7 @@ def main():
 
     def diff_grad(compact):
         def loss(a, b):
-            v, m, _ = R.rasterize_planes_diff(a, b, S, CAP, False, compact)
+            v, m, _, _ = R.rasterize_planes_diff(a, b, S, CAP, False, compact)
             return jnp.sum(jnp.sin(v) * v * m)
         return jax.jit(jax.grad(loss, argnums=(0, 1)))
 

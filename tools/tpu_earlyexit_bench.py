@@ -96,7 +96,7 @@ def main():
     log(f"v5 forward: {results['v5_fwd_ms']} ms")
 
     def vloss(fv, fnrm):
-        vals, mask, p2f = R.rasterize_planes_diff(fv, fnrm, S, cap, False)
+        vals, mask, p2f, _ = R.rasterize_planes_diff(fv, fnrm, S, cap, False)
         return jnp.sum(vals * vals) + jnp.sum(mask)
 
     v5grad = jax.jit(jax.grad(vloss, argnums=(0, 1)))

@@ -50,7 +50,7 @@ def main():
     fv, fnrm = jax.block_until_ready(prep(verts, cam))
 
     def vloss(fv, fnrm):
-        vals, mask, p2f = R.rasterize_planes_diff(fv, fnrm, S, cap, False)
+        vals, mask, p2f, _ = R.rasterize_planes_diff(fv, fnrm, S, cap, False)
         return jnp.sum(vals * vals) + jnp.sum(mask)
 
     jE = jax.jit(jax.grad(vloss, argnums=(0, 1)))

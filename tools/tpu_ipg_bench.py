@@ -96,7 +96,7 @@ def main():
 
     # diff raster fwd+bwd with IPG
     def loss(a, b):
-        v, m, _ = R.rasterize_planes_diff(a, b, S, CAP, False, COMPACT)
+        v, m, _, _ = R.rasterize_planes_diff(a, b, S, CAP, False, COMPACT)
         return jnp.sum(jnp.sin(v) * v * m)
     g = jax.jit(jax.grad(loss, argnums=(0, 1)))
     t0 = time.time()
@@ -108,7 +108,7 @@ def main():
 
     # gradient agreement vs padded
     def loss_p(a, b):
-        v, m, _ = R.rasterize_planes_diff(a, b, S, CAP, False, None)
+        v, m, _, _ = R.rasterize_planes_diff(a, b, S, CAP, False, None)
         return jnp.sum(jnp.sin(v) * v * m)
     gp = jax.jit(jax.grad(loss_p, argnums=(0, 1)))
     ga = jax.block_until_ready(g(fv, fn))

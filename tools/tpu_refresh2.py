@@ -78,7 +78,7 @@ def main():
     # ---- diff raster fwd+bwd with tile-major slots ----
     for compact in (216,):
         def loss(a, b, compact=compact):
-            v, m, _ = R.rasterize_planes_diff(a, b, S, CAP, False, compact)
+            v, m, _, _ = R.rasterize_planes_diff(a, b, S, CAP, False, compact)
             return jnp.sum(jnp.sin(v) * v * m)
         g = jax.jit(jax.grad(loss, argnums=(0, 1)))
         t0 = time.time()

@@ -95,7 +95,7 @@ def main():
             return img, p2f
 
         def vloss(fv, fnrm, _tps=tps):
-            vals, mask, p2f = R.rasterize_planes_diff(
+            vals, mask, p2f, _ = R.rasterize_planes_diff(
                 fv, fnrm, S, cap, False)
             return jnp.sum(vals * vals) + jnp.sum(mask)
 
