@@ -7,6 +7,13 @@ single jitted batched program on one chip, and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "fps/chip", "vs_baseline": N/500}
 
 Baseline: BASELINE.json north star >= 500 fps/chip on TPU v5e.
+
+The line also carries TRAINING throughput (VERDICT r2 item 7): warm
+split-step train iterations at batch 32 bf16 for both freeze parities
+(`train_ms_batch32_bf16_p0/_p1/_avg`, reference trains batch 32 on one GPU,
+configs/config_train.yaml:10-23). The train measurement runs in its own
+child process with a bounded timeout so a worker hiccup there can never
+cost the headline inference number; set SMIRK_BENCH_NO_TRAIN=1 to skip it.
 """
 import json
 import os
@@ -17,6 +24,16 @@ import time
 import numpy as np
 
 
+def _platform_override():
+    """SMIRK_PLATFORM=cpu forces CPU for smoke runs: on this machine the
+    sitecustomize-registered axon plugin wins over a bare JAX_PLATFORMS env
+    var, so jax.config must be updated too (see cli/train.py)."""
+    import jax
+
+    if os.environ.get("SMIRK_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SMIRK_PLATFORM"])
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -25,6 +42,7 @@ def main():
     from smirk_tpu.config import Config
     from smirk_tpu.train import SmirkSystem
 
+    _platform_override()
     on_tpu = jax.default_backend() not in ("cpu",)
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else (64 if on_tpu else 2)
     iters = 20 if on_tpu else 2
@@ -82,6 +100,84 @@ def main():
     )
 
 
+def train_main():
+    """Warm split-step train timing, bf16, both parities (the
+    known-crash-free program family, PARITY.md worker notes). Prints one
+    JSON line with train_ms_* fields for the parent to merge."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from smirk_tpu import assets
+    from smirk_tpu.config import Config
+    from smirk_tpu.train import SmirkSystem
+
+    _platform_override()
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    bundle = dict(assets.load_all())
+    # recenter like the inference bench: random-init cam + synthetic
+    # template would otherwise render an empty scene (see main())
+    vt = np.array(bundle["v_template"], np.float32)
+    center = vt[np.asarray(bundle["face_vertex_ids"])].mean(0)
+    vt[:, 0] -= center[0]
+    vt[:, 1] -= center[1]
+    bundle["v_template"] = vt
+
+    if on_tpu:
+        B, S, iters = 32, 224, 10
+        cfg = Config()
+        cfg = dataclasses.replace(
+            cfg, arch=dataclasses.replace(cfg.arch, bf16_compute=True))
+    else:
+        # CPU = plumbing smoke only: the full 224px step takes >15 min to
+        # compile on a 1-core box; mirror dryrun_multichip's tiny shapes
+        from smirk_tpu.config import ArchConfig, LossWeights, TrainConfig
+
+        B, S, iters = 4, 32, 2
+        cfg = Config(
+            image_size=S,
+            arch=ArchConfig(num_expression=10, num_shape=30,
+                            bf16_compute=True),
+            train=TrainConfig(batch_size=B, mask_ratio=0.02,
+                              mask_dilation_radius=3,
+                              loss_weights=LossWeights(
+                                  perceptual_vgg_loss=0.0, emotion_loss=0.0,
+                                  mica_loss=0.0)),
+        )
+    system = SmirkSystem(cfg, bundle, steps_per_epoch=100, use_pallas=on_tpu)
+    state = system.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(rng.random((B, S, S, 3), np.float32)),
+        "landmarks_fan": jnp.asarray(
+            rng.uniform(-1, 1, (B, 68, 2)).astype(np.float32)),
+        "flag_landmarks_fan": jnp.ones((B,), bool),
+        "landmarks_mp": jnp.asarray(
+            rng.uniform(-1, 1, (B, 105, 2)).astype(np.float32)),
+        "mask": jnp.asarray(
+            (rng.random((B, S, S, 1)) > 0.5).astype(np.float32)),
+        "img_mica": jnp.zeros((B, 112, 112, 3), np.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    fields = {}
+    for parity in (0, 1):
+        out = system.train_step(state, batch, key, parity=parity)
+        jax.block_until_ready(out[1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = system.train_step(state, batch, key, parity=parity)
+        jax.block_until_ready(out[1])
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        fields[f"train_ms_batch{B}_bf16_p{parity}"] = round(ms, 1)
+        assert np.isfinite(float(out[1]["loss_first_path"]))
+    fields[f"train_ms_batch{B}_bf16_avg"] = round(
+        sum(fields.values()) / 2, 1)
+    print(json.dumps(fields))
+
+
 def _run_with_retries():
     """The remote TPU worker flakes (compile-helper HTTP 500s; worker
     restarts after a crash can take minutes, during which device init
@@ -102,7 +198,7 @@ def _run_with_retries():
             )
             for line in reversed(proc.stdout.splitlines()):
                 if line.startswith("{"):
-                    print(line)
+                    print(json.dumps({**json.loads(line), **_train_fields()}))
                     return 0
             last = (proc.stderr or proc.stdout)[-400:]
         except subprocess.TimeoutExpired:
@@ -115,8 +211,35 @@ def _run_with_retries():
     return 1
 
 
+def _train_fields():
+    """Training-throughput fields via a bounded child process; any failure
+    degrades to a report field instead of risking the headline number."""
+    if os.environ.get("SMIRK_BENCH_NO_TRAIN"):
+        return {}
+    env = dict(os.environ, SMIRK_BENCH_TRAIN_INNER="1")
+    env.pop("SMIRK_BENCH_INNER", None)
+    try:
+        # two split-step bf16 compiles can take ~10-15 min each over the
+        # remote compile tunnel; warm reruns take seconds
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=2700, env=env,
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        tail = (proc.stderr or proc.stdout)[-200:]
+    except subprocess.TimeoutExpired:
+        tail = "timeout"
+    print(f"train bench failed (inference number unaffected): {tail}",
+          file=sys.stderr, flush=True)
+    return {"train_ms_error": tail}
+
+
 if __name__ == "__main__":
-    if os.environ.get("SMIRK_BENCH_INNER"):
+    if os.environ.get("SMIRK_BENCH_TRAIN_INNER"):
+        train_main()
+    elif os.environ.get("SMIRK_BENCH_INNER"):
         main()
     else:
         sys.exit(_run_with_retries())

@@ -52,6 +52,11 @@ class TrainConfig:
     # batch 64 bf16 AND avoids the fused parity-1 fp32 worker crash
     # (PARITY.md). SMIRK_STEP_MODE env overrides.
     step_mode: str = "split"
+    # jax.checkpoint (rematerialization) over the cycle path's generator
+    # and re-encode applies: recompute their forwards during backward
+    # instead of keeping activations. FLOPs-for-HBM trade; measured on TPU
+    # in tools/tpu_cycle_attack.py (PARITY.md cycle-path table).
+    remat_cycle: bool = False
     use_wandb: bool = False
     Ke: int = 1
     samples_per_epoch: int = 50000
@@ -82,6 +87,14 @@ class ArchConfig:
     # BN stats, heads and losses stay f32). Off by default: fp32 matches the
     # reference numerics; flip for throughput on TPU.
     bf16_compute: bool = False
+    # bf16 compute for the FROZEN module applications in the cycle path
+    # only (the parity-0 frozen-encoder re-forward whose backward flows to
+    # the generator, and the parity-1 stop-gradiented generator forward).
+    # A targeted subset of bf16_compute for fp32 training runs: the frozen
+    # outputs feed only the cycle MSE / the re-encode input. No-op when
+    # bf16_compute is already on. Measured on TPU in tools/
+    # tpu_cycle_attack.py (see PARITY.md cycle-path table).
+    bf16_cycle_frozen: bool = False
     # ImageNet-pretrained backbone init (reference smirk_encoder.py:7-12
     # passes pretrained=True to timm): paths to raw timm tf_mobilenetv3
     # state dicts (.pt/.tar via torch, .npz via numpy); empty = random init

@@ -204,6 +204,35 @@ def arcface_tform(landmarks_fan: np.ndarray, image_size: int = 112) -> np.ndarra
 # ------------------------------ augmentation ------------------------------
 
 
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
+
+
+def _rotate_hue(img: np.ndarray, turns: float) -> np.ndarray:
+    """Rotate hue by `turns` of the full circle: rotation about the RGB gray
+    axis u=(1,1,1)/sqrt(3) (R = cI + (1-c)uu^T + s[u]x), the linear-RGB
+    equivalent of torchvision adjust_hue's HSV shift."""
+    a = 2.0 * np.pi * turns
+    c, s = np.cos(a), np.sin(a)
+    cross = np.array([[0, -1, 1], [1, 0, -1], [-1, 1, 0]], np.float32)
+    m = c * np.eye(3, dtype=np.float32) + (1 - c) / 3.0 + (
+        s / np.sqrt(3.0)) * cross
+    return img @ m.T
+
+
+def _clahe(img: np.ndarray, clip_limit: float) -> np.ndarray:
+    """CLAHE on the LAB L channel (albumentations CLAHE semantics); no-op
+    when cv2 is unavailable (documented divergence, PARITY.md)."""
+    try:
+        import cv2
+    except ImportError:
+        return img
+    u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    lab = cv2.cvtColor(u8, cv2.COLOR_RGB2LAB)
+    cl = cv2.createCLAHE(clipLimit=clip_limit, tileGridSize=(8, 8))
+    lab[..., 0] = cl.apply(lab[..., 0])
+    return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB).astype(np.float32) / 255.0
+
+
 def augment(
     rng: np.random.Generator,
     image: np.ndarray,  # (H,W,3) float [0,1]
@@ -213,22 +242,45 @@ def augment(
 ):
     """Photometric + shift/scale/rotate augmentation with keypoint sync.
 
-    Equivalent role to the albumentations pipeline (base_dataset.py:41-52):
-    brightness/contrast, gamma, color jitter, noise, blur, and a 0.9-prob
-    ShiftScaleRotate (+-5% shift, +-10% scale, +-10deg).
+    Op set, order, probabilities, and parameter ranges mirror the reference
+    albumentations pipeline (base_dataset.py:41-52) at the libraries'
+    default limits: RandomBrightnessContrast(0.5), RandomGamma(0.5),
+    ColorJitter(0.05 x4, 0.25), CLAHE(0.255), RGBShift(0.25), Blur(0.1),
+    GaussNoise(0.5), ShiftScaleRotate(0.05/0.1/10deg, border 0, 0.9).
+    Remaining divergences (PARITY.md augmentation table): ops run on float
+    images rather than uint8 (no 8-bit quantization between ops), and the
+    RNG draws differ from albumentations' internal sequence, so this is
+    distribution-level, not sample-level, parity.
     """
     img = image.astype(np.float32)
 
-    if rng.random() < 0.5:  # brightness/contrast
+    if rng.random() < 0.5:  # RandomBrightnessContrast (limits 0.2/0.2)
         img = img * (1 + rng.uniform(-0.2, 0.2)) + rng.uniform(-0.2, 0.2)
-    if rng.random() < 0.5:  # gamma
+    if rng.random() < 0.5:  # RandomGamma (gamma_limit 80..120)
         img = np.clip(img, 0, 1) ** rng.uniform(0.8, 1.2)
-    if rng.random() < 0.25:  # color jitter (per-channel)
-        img = img * (1 + rng.uniform(-0.05, 0.05, 3))
-    if rng.random() < 0.1:  # blur
-        img = ndimage.uniform_filter(img, size=(3, 3, 1))
-    if rng.random() < 0.5:  # gauss noise
-        img = img + rng.normal(0, rng.uniform(0.01, 0.05), img.shape)
+    if rng.random() < 0.25:  # ColorJitter(0.05,0.05,0.05,0.05), random order
+        for op in rng.permutation(4):
+            if op == 0:  # brightness
+                img = img * rng.uniform(0.95, 1.05)
+            elif op == 1:  # contrast: blend with the mean gray
+                f = rng.uniform(0.95, 1.05)
+                img = img * f + float((img @ _LUMA).mean()) * (1 - f)
+            elif op == 2:  # saturation: blend with per-pixel gray
+                f = rng.uniform(0.95, 1.05)
+                gray = (img @ _LUMA)[..., None]
+                img = img * f + gray * (1 - f)
+            else:  # hue
+                img = _rotate_hue(img, rng.uniform(-0.05, 0.05))
+    if rng.random() < 0.255:  # CLAHE (clip_limit U(1,4), 8x8 tiles)
+        img = _clahe(img, rng.uniform(1.0, 4.0))
+    if rng.random() < 0.25:  # RGBShift (shift_limit 20/255 per channel)
+        img = img + rng.uniform(-20.0, 20.0, 3).astype(np.float32) / 255.0
+    if rng.random() < 0.1:  # Blur (box kernel, size 3..7)
+        k = int(rng.integers(3, 8))
+        img = ndimage.uniform_filter(img, size=(k, k, 1))
+    if rng.random() < 0.5:  # GaussNoise (var_limit 10..50 on the 255 scale)
+        std = np.sqrt(rng.uniform(10.0, 50.0)) / 255.0
+        img = img + rng.normal(0, std, img.shape)
     img = np.clip(img, 0, 1).astype(np.float32)
 
     if rng.random() < 0.9:  # shift-scale-rotate

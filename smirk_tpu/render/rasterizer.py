@@ -624,6 +624,7 @@ def rasterize(
     capacity: int = 512,
     use_pallas: Optional[bool] = None,
     compact: Optional[int] = None,
+    bin_approx: Optional[float] = None,
 ):
     """Full differentiable raster: coverage (stop-grad) + interpolation.
 
@@ -642,7 +643,8 @@ def rasterize(
     if use_pallas and 13 + 3 * D <= REC5_LANES:
         interpret = default_interpret()
         return rasterize_planes_diff(
-            face_verts, attributes, image_size, capacity, interpret, compact
+            face_verts, attributes, image_size, capacity, interpret, compact,
+            bin_approx,
         )
     if use_pallas:
         interpret = default_interpret()
@@ -2071,11 +2073,18 @@ def _raster_kernel_v5c(starts_ref, ends_ref, recs_ref, face_out, z_out,
 
 
 def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
-             compact=None):
+             compact=None, bin_approx=None):
     """-> (vals (B,H,W,D), pix_to_face, zbuf, pix_to_slot, bins, overflow).
 
     overflow (B,) int32: compact chunks dropped past the budget (zeros on
-    the padded path) — see _compact_plan; unused consumers are DCE'd."""
+    the padded path) — see _compact_plan; unused consumers are DCE'd.
+    bin_approx: approx_max_k recall target for the binning (None = exact
+    top_k). Measured (tools/tpu_bin_attack.py, batch64@224px): exact 11.7ms
+    vs approx-0.95 6.0ms with ZERO membership misses — when no tile
+    overflows its capacity, every overlapping face has a positive key and
+    the approximate selector returns the complete membership, so values
+    AND gradients are bit-identical; a miss under overflow behaves like
+    the capacity overflow it accompanies."""
     assert capacity % V3_CHUNK == 0
     B, F = face_verts.shape[:2]
     D = attributes.shape[-1]
@@ -2086,7 +2095,7 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
     Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
     T = ty * tx
 
-    bins, counts = bin_faces(face_verts, image_size, capacity)
+    bins, counts = bin_faces(face_verts, image_size, capacity, bin_approx)
     tps = _pick_tps(bins.shape[1], capacity)
     bins, counts = _pad_tiles_to(bins, counts, tps)
     Tp = bins.shape[1]
@@ -2180,10 +2189,11 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
     return vals, p2f, zbuf, p2slot_tiles, bins[:, :Tp8], overflow
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def rasterize_planes_diff(
     face_verts, attributes, image_size: int, capacity: int,
     interpret: bool = False, compact: Optional[int] = None,
+    bin_approx: Optional[float] = None,
 ):
     """Fused differentiable raster:
     (vals (B,H,W,D), mask, pix_to_face, overflow).
@@ -2197,23 +2207,23 @@ def rasterize_planes_diff(
     training callers must log/monitor it (see _compact_plan)."""
     vals, p2f, _, _, _, overflow = _v5_impl(
         jax.lax.stop_gradient(face_verts), jax.lax.stop_gradient(attributes),
-        image_size, capacity, interpret, compact,
+        image_size, capacity, interpret, compact, bin_approx,
     )
     mask = (p2f >= 0)[..., None].astype(vals.dtype)
     return vals, mask, p2f, overflow
 
 
 def _rpd_fwd(face_verts, attributes, image_size, capacity, interpret,
-             compact):
+             compact, bin_approx):
     vals, p2f, _, p2slot, bins, overflow = _v5_impl(
         jax.lax.stop_gradient(face_verts), jax.lax.stop_gradient(attributes),
-        image_size, capacity, interpret, compact,
+        image_size, capacity, interpret, compact, bin_approx,
     )
     mask = (p2f >= 0)[..., None].astype(vals.dtype)
     return (vals, mask, p2f, overflow), (face_verts, attributes, p2slot, bins)
 
 
-def _rpd_bwd(image_size, capacity, interpret, compact, res, cts):
+def _rpd_bwd(image_size, capacity, interpret, compact, bin_approx, res, cts):
     g_vals = cts[0]  # mask/p2f cotangents carry no gradient information
     face_verts, attributes, p2slot, bins = res
     B, H, W, D = g_vals.shape

@@ -113,6 +113,34 @@ class SmirkSystem:
             if c.arch.enable_fuse_generator
             else None
         )
+        # Frozen-module twins for the cycle path: same params, possibly
+        # lower compute dtype (arch.bf16_cycle_frozen — a targeted subset
+        # of bf16_compute for fp32 runs; flax modules are pure configs, so
+        # twins share the variables). Aliases when the dtype matches.
+        frozen_dtype = (
+            jnp.bfloat16 if (c.arch.bf16_compute or c.arch.bf16_cycle_frozen)
+            else None
+        )
+        if frozen_dtype == compute_dtype:
+            self.encoder_frozen = self.encoder
+            self.generator_frozen = self.generator
+        else:
+            self.encoder_frozen = SmirkEncoder(
+                n_exp=c.arch.num_expression,
+                n_shape=c.arch.num_shape,
+                backbone_pose=c.arch.backbone_pose,
+                backbone_shape=c.arch.backbone_shape,
+                backbone_expression=c.arch.backbone_expression,
+                dtype=frozen_dtype,
+            )
+            self.generator_frozen = (
+                SmirkGenerator(in_channels=6, out_channels=3,
+                               init_features=generator_features,
+                               res_blocks=generator_res_blocks,
+                               dtype=frozen_dtype)
+                if c.arch.enable_fuse_generator
+                else None
+            )
         self.face_probabilities = jnp.asarray(bundle["face_probabilities"])
         from smirk_tpu.render import geometry as _geom
 
@@ -522,28 +550,32 @@ class SmirkSystem:
         gen_in = jax.lax.stop_gradient(
             jnp.concatenate([rendered_img_2nd, masked_img_2nd], -1)
         )
+        # optional rematerialization of the cycle's two heavy applies
+        # (train.remat_cycle): recompute forwards in the backward pass
+        remat = jax.checkpoint if c.train.remat_cycle else (lambda f: f)
         if freeze_generator:
-            recon = self.generator.apply(
-                jax.lax.stop_gradient(
-                    {"params": gen_params, "batch_stats": gen_stats}),
-                gen_in, train=False,
-            )
+            recon = remat(
+                lambda v, x: self.generator_frozen.apply(v, x, train=False)
+            )(jax.lax.stop_gradient(
+                {"params": gen_params, "batch_stats": gen_stats}), gen_in)
             recon = jax.lax.stop_gradient(recon)
         else:
-            recon, gen_stats = self._apply_generator(
-                {"params": gen_params, "batch_stats": gen_stats}, gen_in, True
-            )
+            recon, gen_stats = remat(
+                lambda v, x: self._apply_generator(v, x, True)
+            )({"params": gen_params, "batch_stats": gen_stats}, gen_in)
 
         if freeze_encoder:
-            recon_feats = self.encoder.apply(
-                {"params": jax.lax.stop_gradient(enc_params),
-                 "batch_stats": enc_stats},
-                recon, train=False,
-            )
+            # frozen re-encode: gradients DO flow through it back to the
+            # generator via `recon` (parity 0's dominant backward cost) —
+            # encoder_frozen may run it in bf16 (arch.bf16_cycle_frozen)
+            recon_feats = remat(
+                lambda v, x: self.encoder_frozen.apply(v, x, train=False)
+            )({"params": jax.lax.stop_gradient(enc_params),
+               "batch_stats": enc_stats}, recon)
         else:
-            recon_feats, enc_stats = self._apply_encoder(
-                {"params": enc_params, "batch_stats": enc_stats}, recon, True
-            )
+            recon_feats, enc_stats = remat(
+                lambda v, x: self._apply_encoder(v, x, True)
+            )({"params": enc_params, "batch_stats": enc_stats}, recon)
 
         cycle = landmark_mse(recon_feats["expression_params"],
                              feats["expression_params"]) \

@@ -32,6 +32,41 @@ assert jax.process_index() == pid
 mesh = parallel.make_mesh()
 assert mesh.devices.size == 2, mesh.devices
 
+mode = sys.argv[3] if len(sys.argv) > 3 else "smoke"
+if mode == "trainstep":
+    # The §2.4 claim made falsifiable (VERDICT r2 item 4): a REAL
+    # SmirkSystem.train_step across 2 processes — host-local batch shards
+    # assembled with make_array_from_process_local_data, params replicated,
+    # XLA's cross-process gradient all-reduce — must produce the SAME losses
+    # as a single-device run on the identical global batch.
+    from tiny_sys import make_batch, make_tiny_system
+
+    system, state = make_tiny_system()
+    GB = 4  # global batch; each process holds rows [pid*2, pid*2+2)
+    full = make_batch(np.random.default_rng(7), b=GB)  # same on both procs
+    sharding = NamedSharding(mesh, P(parallel.DATA_AXIS))
+    gbatch = {
+        k: jax.make_array_from_process_local_data(
+            sharding, np.asarray(v)[pid * 2:(pid + 1) * 2])
+        for k, v in full.items()
+    }
+    state_r = parallel.replicate(state, mesh)
+    _, metrics, _ = system.train_step(
+        state_r, gbatch, jax.random.PRNGKey(5), parity=0)
+    # single-device reference on the full global batch (local arrays)
+    _, ref, _ = system.train_step(
+        state, full, jax.random.PRNGKey(5), parity=0)
+    for k in ("loss_first_path", "loss_second_path", "cycle_loss",
+              "landmark_loss_mp"):
+        a, b = float(metrics[k]), float(ref[k])
+        assert np.isfinite(a) and np.isfinite(b), (k, a, b)
+        # sharded reductions reassociate fp32 sums; demand agreement far
+        # below any optimization-relevant scale
+        assert abs(a - b) <= 1e-4 * max(1.0, abs(b)), (k, a, b)
+    print(f"OK {pid} loss_first_path={float(metrics['loss_first_path'])!r}",
+          flush=True)
+    sys.exit(0)
+
 # host-local shard -> global array -> cross-process reduction via pjit
 local = np.full((2, 3), float(pid + 1), np.float32)
 garr = jax.make_array_from_process_local_data(

@@ -51,7 +51,49 @@ def test_convex_hull_mask():
     assert m[5, 5] == 0
 
 
-def test_prepare_sample_shapes():
+def test_rotate_hue_properties():
+    """Hue rotation about the gray axis: gray pixels are fixed points, the
+    identity rotation is exact, and a full turn returns the input."""
+    rng = np.random.default_rng(5)
+    img = rng.random((8, 8, 3)).astype(np.float32)
+    np.testing.assert_allclose(T._rotate_hue(img, 0.0), img, atol=1e-6)
+    np.testing.assert_allclose(T._rotate_hue(img, 1.0), img, atol=1e-5)
+    gray = np.full((4, 4, 3), 0.37, np.float32)
+    np.testing.assert_allclose(T._rotate_hue(gray, 0.05), gray, atol=1e-6)
+
+
+def test_augment_distribution_sanity():
+    """Distribution-level parity checks vs the reference albumentations
+    pipeline (base_dataset.py:41-52; PARITY.md augmentation table):
+    bounded outputs, roughly mean-preserving photometrics, geometric ops
+    that keep both keypoint sets in sync with the image warp."""
+    rng = np.random.default_rng(42)
+    H = W = 64
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = np.stack([xx / W, yy / H, np.full_like(xx, 0.5)], -1)
+    mask = np.ones((H, W), np.float32)
+    kp = np.array([[10.0, 20.0], [50.0, 40.0], [32.0, 32.0]], np.float32)
+
+    N = 200
+    means, maxs, mins, n_changed = [], [], [], 0
+    for _ in range(N):
+        img, m, k1, k2 = T.augment(rng, base, mask, kp.copy(), kp.copy())
+        assert img.shape == base.shape and img.dtype == np.float32
+        means.append(float(img.mean()))
+        maxs.append(float(img.max()))
+        mins.append(float(img.min()))
+        # keypoint sync: both sets get the SAME affine draw
+        np.testing.assert_allclose(k1, k2, atol=1e-4)
+        if not np.allclose(k1, kp):
+            n_changed += 1
+    means = np.asarray(means)
+    assert max(maxs) <= 1.0 and min(mins) >= 0.0  # clipped to [0,1]
+    # photometric ops are centered: the sample-mean of means stays near the
+    # base mean (base.mean()~0.49) and individual draws actually perturb it
+    assert abs(means.mean() - float(base.mean())) < 0.05, means.mean()
+    assert means.std() > 0.01
+    # ShiftScaleRotate fires with p=0.9 -> keypoints moved in ~90% of draws
+    assert 0.8 < n_changed / N < 1.0, n_changed / N
     rng = np.random.default_rng(0)
     img = (rng.random((300, 280, 3)) * 255).astype(np.uint8)
     fan = rng.random((68, 2)) * 150 + 60

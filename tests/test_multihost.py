@@ -20,14 +20,14 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_smoke():
+def _run_workers(mode, timeout):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("JAX_", "XLA_"))}
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), port],
+            [sys.executable, worker, str(pid), port, mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True,
         )
@@ -35,14 +35,29 @@ def test_two_process_distributed_smoke():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
-    # per-process sampler streams must differ (different first indices)
     picks = {}
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("OK ")][0]
         pid, rest = line[3:].split(" ", 1)
         picks[pid] = rest
+    return picks
+
+
+def test_two_process_distributed_smoke():
+    picks = _run_workers("smoke", 300)
+    # per-process sampler streams must differ (different first indices)
     assert picks["0"] != picks["1"], picks
+
+
+def test_two_process_train_step_matches_single():
+    """Full SmirkSystem.train_step across 2 real processes == single-device
+    run on the same global batch (the gradient-all-reduce correctness
+    statement; assertions live in multihost_worker.py trainstep mode).
+    Both processes print the SAME sharded loss — replicated outputs."""
+    picks = _run_workers("trainstep", 1200)
+    assert picks["0"] == picks["1"], picks
+    assert picks["0"].startswith("loss_first_path="), picks

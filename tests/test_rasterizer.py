@@ -472,6 +472,39 @@ def test_planes_diff_compact_matches_padded():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_planes_diff_approx_binning_matches_exact():
+    """Approx binning (approx_max_k) on the DIFFERENTIABLE raster returns
+    the complete tile membership when no bin overflows its capacity, so
+    values, mask, p2f, and gradients are bit-identical to exact top_k
+    (TPU-measured 11.7 -> 6.0 ms/batch64; tools/tpu_bin_attack.py)."""
+    rng = np.random.default_rng(23)
+    B, F = 2, 300
+    c = rng.uniform(-0.9, 0.9, (B, F, 1, 2))
+    d = rng.uniform(-0.08, 0.08, (B, F, 3, 2))
+    xy = c + d  # small scattered triangles: per-tile counts << capacity
+    z = np.repeat(rng.uniform(5, 15, (B, F, 1, 1)), 3, axis=2)
+    fv = jnp.asarray(np.concatenate([xy, z], -1).astype(np.float32))
+    attr = jnp.asarray(rng.normal(0, 1, (B, F, 3, 3)).astype(np.float32))
+    size, cap = 32, 256  # k=256 < F=300: the approx selector is non-trivial
+    bins, counts = R.bin_faces_flat(fv, size, cap, approx=None)
+    assert int(np.asarray(counts).max()) < cap, "fixture must not overflow"
+
+    ref = R.rasterize_planes_diff(fv, attr, size, cap, True, 64, None)
+    out = R.rasterize_planes_diff(fv, attr, size, cap, True, 64, 0.95)
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(out[2]))
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out[0]))
+
+    def loss(f, a, approx):
+        v, m, _, _ = R.rasterize_planes_diff(f, a, size, cap, True, 64,
+                                             approx)
+        return jnp.sum(jnp.sin(v) * v)
+
+    g1 = jax.grad(loss, argnums=(0, 1))(fv, attr, None)
+    g2 = jax.grad(loss, argnums=(0, 1))(fv, attr, 0.95)
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_compact_plan_reports_overflow():
     """_compact_plan counts the occupied chunks dropped past the budget
     (ADVICE r2: overflow used to be silently clipped — trailing tiles

@@ -15,53 +15,14 @@ from smirk_tpu import assets
 from smirk_tpu.config import Config, ArchConfig, TrainConfig, LossWeights
 from smirk_tpu.train import SmirkSystem
 
-TINY_SMALL = [[("ds", 16, 16, 2)], [("ir", 24, 24, 2)], [("cn", 0, 40, 1)]]
-TINY_LARGE = [[("ds", 16, 16, 1)], [("ir", 24, 24, 2)], [("cn", 0, 48, 1)]]
-
-S = 32
-B = 4
+from tiny_sys import (  # noqa: F401  (shared with multihost_worker)
+    TINY_SMALL, TINY_LARGE, S, B, make_batch, make_tiny_system,
+)
 
 
 @pytest.fixture(scope="module")
 def tiny_system():
-    from smirk_tpu.models import mobilenetv3 as mnv3
-
-    mnv3.ARCHS["tf_mobilenetv3_small_minimal_100"] = (TINY_SMALL, 40)
-    mnv3.ARCHS["tf_mobilenetv3_large_minimal_100"] = (TINY_LARGE, 48)
-
-    cfg = Config(
-        image_size=S,
-        arch=ArchConfig(num_expression=10, num_shape=30),
-        train=TrainConfig(
-            batch_size=B,
-            mask_ratio=0.02,
-            mask_dilation_radius=3,
-            Ke=1,
-            loss_weights=LossWeights(perceptual_vgg_loss=0.0, emotion_loss=0.0,
-                                     mica_loss=0.0),
-        ),
-    )
-    bundle = assets.load_all()
-    system = SmirkSystem(
-        cfg, bundle, steps_per_epoch=10, use_pallas=False,
-        generator_features=8, generator_res_blocks=1,
-    )
-    state = system.init_state(jax.random.PRNGKey(0))
-    return system, state
-
-
-def make_batch(rng, b=B, s=S):
-    return {
-        "img": jnp.asarray(rng.random((b, s, s, 3), np.float32)),
-        "landmarks_fan": jnp.asarray(
-            rng.uniform(-1, 1, (b, 68, 2)).astype(np.float32)),
-        "flag_landmarks_fan": jnp.asarray(
-            (np.arange(b) % 4 != 2)),  # some samples lack FAN labels
-        "landmarks_mp": jnp.asarray(
-            rng.uniform(-1, 1, (b, 105, 2)).astype(np.float32)),
-        "mask": jnp.asarray((rng.random((b, s, s, 1)) > 0.5).astype(np.float32)),
-        "img_mica": jnp.zeros((b, 112, 112, 3), jnp.float32),
-    }
+    return make_tiny_system()
 
 
 def test_train_step_both_parities(tiny_system):
@@ -392,6 +353,46 @@ def test_train_step_bf16_compute(tiny_system):
         leaf.dtype == np.float32
         for leaf in jax.tree_util.tree_leaves(new.encoder)
     )
+
+
+def test_cycle_remat_is_exact_and_bf16_frozen_is_close(tiny_system):
+    """train.remat_cycle recomputes the cycle applies in the backward —
+    mathematically identical losses AND updates. arch.bf16_cycle_frozen
+    runs only the frozen cycle applies in bf16 — losses must stay close
+    (the knob exists for fp32 runs; TPU numbers in PARITY.md)."""
+    system0, state0 = tiny_system
+    batch = make_batch(np.random.default_rng(31))
+    key = jax.random.PRNGKey(31)
+    base = {p: system0.train_step(state0, batch, key, parity=p)
+            for p in (0, 1)}
+
+    remat_sys, remat_state = make_tiny_system(remat_cycle=True)
+    for p in (0, 1):
+        new, metrics, _ = remat_sys.train_step(remat_state, batch, key,
+                                               parity=p)
+        for k in ("loss_first_path", "loss_second_path", "cycle_loss"):
+            np.testing.assert_allclose(
+                float(metrics[k]), float(base[p][1][k]), rtol=1e-6,
+                err_msg=f"remat parity={p} {k}")
+        # parameter updates identical too (same grads through remat)
+        for a, b in zip(jax.tree_util.tree_leaves(new.encoder["params"]),
+                        jax.tree_util.tree_leaves(
+                            base[p][0].encoder["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    bf16_sys, bf16_state = make_tiny_system(bf16_cycle_frozen=True)
+    assert bf16_sys.encoder_frozen is not bf16_sys.encoder
+    for p in (0, 1):
+        _, metrics, _ = bf16_sys.train_step(bf16_state, batch, key, parity=p)
+        # path 1 is untouched by the knob; the cycle loss shifts only by
+        # bf16 rounding of the frozen applies
+        np.testing.assert_allclose(float(metrics["loss_first_path"]),
+                                   float(base[p][1]["loss_first_path"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(metrics["cycle_loss"]),
+                                   float(base[p][1]["cycle_loss"]),
+                                   rtol=0.05)
 
 
 def test_train_step_no_generator_pretrain_shape(tiny_system):

@@ -59,6 +59,23 @@ def main():
     rend = Renderer(bundle, image_size=S, use_pallas=True)
     log(f"auto raster_compact at {S}px cap {rend.bin_capacity}: "
         f"{rend.raster_compact}")
+
+    # Occupancy vs budget self-revalidation (VERDICT r2 item 8): measured
+    # on whatever geometry is installed; when the real generic_model.pkl is
+    # present this re-verifies the synthetic-tuned ~1.4x headroom claim.
+    occ_cam = jnp.asarray(np.tile(
+        np.array([7.0, 0.0, 0.0], np.float32), (1, 1)))
+    occ = rend.measure_compact_occupancy(
+        jnp.asarray(vt[None]), occ_cam)
+    flame_kind = ("synthetic" if bundle.get("is_synthetic_flame", True)
+                  else "REAL FLAME2020")
+    results["occupancy"] = {**occ, "geometry": flame_kind}
+    log(f"occupancy ({flame_kind}): {occ}")
+    if not bundle.get("is_synthetic_flame", True):
+        assert occ["headroom"] >= 1.0, (
+            f"real-FLAME occupancy {occ} exceeds the auto budget — raise "
+            "the renderer auto budget (renderer.py) before trusting "
+            "compact-raster training renders")
     cam = jnp.asarray(np.tile(np.array([7.0, 0.0, 0.0], np.float32), (B, 1)))
 
     @jax.jit
