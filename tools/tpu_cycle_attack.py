@@ -97,12 +97,18 @@ def main():
                 log(f"{tag} p{p} FAILED: {str(e)[:200]}")
             log("PARTIAL " + json.dumps(results))
 
-    # smallest programs first (bf16 family has never crashed the worker)
-    measure("bf16_base", cfg_for(True, False, False))
-    measure("bf16_remat", cfg_for(True, True, False))
+    # smallest programs first (bf16 family has never crashed the worker).
+    # Select stages via argv (worker program-budget discipline: the fp32
+    # family is ~1.5 slots per phase; run it only with recovery margin).
+    stages = sys.argv[1:] or ["bf16_base", "bf16_remat", "fp32_bf16frozen"]
+    if "bf16_base" in stages:
+        measure("bf16_base", cfg_for(True, False, False))
+    if "bf16_remat" in stages:
+        measure("bf16_remat", cfg_for(True, True, False))
     # the fp32 target: frozen cycle applies in bf16 (parity 0 is the
     # expensive one; parity 1 included for the avg)
-    measure("fp32_bf16frozen", cfg_for(False, False, True))
+    if "fp32_bf16frozen" in stages:
+        measure("fp32_bf16frozen", cfg_for(False, False, True))
 
     log("RESULT " + json.dumps(results))
 
