@@ -26,7 +26,14 @@ def iter_frames(path: str) -> Iterator[np.ndarray]:
             if name.lower().endswith((".png", ".jpg", ".jpeg")):
                 yield np.asarray(Image.open(os.path.join(path, name)).convert("RGB"))
         return
-    import cv2  # gated: needed only for mp4 input
+    from smirk_tpu.utils import videoio
+
+    if not videoio.have_cv2():
+        # cv2-free fallback: MJPEG-AVI demuxed in pure Python (PIL decodes
+        # the per-frame JPEGs). mp4/H.264 still needs cv2.
+        yield from videoio.iter_mjpeg_avi(path)
+        return
+    import cv2
 
     cap = cv2.VideoCapture(path)
     while True:
@@ -206,20 +213,29 @@ def main(argv=None):
 
 
 def _assemble_mp4(out_dir: str) -> None:
-    """Join the written frame panels into grid.mp4 when cv2 is available
-    (reference demo_video.py writes an mp4 directly)."""
-    try:
-        import cv2
+    """Join the written frame panels into grid.mp4 (cv2) or grid.avi
+    (pure-Python MJPEG muxer) — reference demo_video.py writes an mp4
+    directly and hard-requires OpenCV for it."""
+    from smirk_tpu.utils import videoio
 
-        cv2.VideoWriter  # guard against stubbed modules
-    except (ImportError, AttributeError):
-        return
     frames = sorted(
         f for f in os.listdir(out_dir)
         if f.startswith("frame_") and f.endswith(".jpg")
     )
     if not frames:
         return
+    if not videoio.have_cv2():
+        from PIL import Image
+
+        videoio.write_mjpeg_avi(
+            os.path.join(out_dir, "grid.avi"),
+            (np.asarray(Image.open(os.path.join(out_dir, f)).convert("RGB"))
+             for f in frames),
+        )
+        print("wrote", os.path.join(out_dir, "grid.avi"))
+        return
+    import cv2
+
     first = cv2.imread(os.path.join(out_dir, frames[0]))
     h, w = first.shape[:2]
     vw = cv2.VideoWriter(
