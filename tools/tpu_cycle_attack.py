@@ -106,8 +106,12 @@ def main():
     if "bf16_remat" in stages:
         measure("bf16_remat", cfg_for(True, True, False))
     # the fp32 target: frozen cycle applies in bf16 (parity 0 is the
-    # expensive one; parity 1 included for the avg)
-    if "fp32_bf16frozen" in stages:
+    # expensive one; parity 1 included for the avg). The _p0 variant
+    # measures only parity 0 (~1.5 worker slots instead of 3).
+    if "fp32_bf16frozen_p0" in stages:
+        measure("fp32_bf16frozen", cfg_for(False, False, True),
+                parities=(0,))
+    elif "fp32_bf16frozen" in stages:
         measure("fp32_bf16frozen", cfg_for(False, False, True))
 
     log("RESULT " + json.dumps(results))
