@@ -54,8 +54,9 @@ class TrainConfig:
     step_mode: str = "split"
     # jax.checkpoint (rematerialization) over the cycle path's generator
     # and re-encode applies: recompute their forwards during backward
-    # instead of keeping activations. FLOPs-for-HBM trade; measured on TPU
-    # in tools/tpu_cycle_attack.py (PARITY.md cycle-path table).
+    # instead of keeping activations. MEASURED NEGATIVE on v5e (the cycle
+    # is FLOP-bound: parity 0 +83%, tools/tpu_cycle_attack.py, PARITY.md)
+    # — keep off unless a future shape is activation-memory-bound.
     remat_cycle: bool = False
     use_wandb: bool = False
     Ke: int = 1

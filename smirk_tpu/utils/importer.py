@@ -180,6 +180,21 @@ def export_state_dict(flax_variables, prefix: str = "") -> Dict[str, Any]:
     return out
 
 
+def add_bn_trackers(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Add the `num_batches_tracked` buffers torch BatchNorm state dicts
+    carry (flax has no equivalent), so an exported dict loads with
+    strict=True into reference-style torch modules. Zeros are correct:
+    the buffer only drives momentum=None cumulative averaging, which the
+    reference never uses."""
+    out = dict(state_dict)
+    for k in list(state_dict):
+        if k.endswith(".running_var"):
+            out[k[: -len("running_var")] + "num_batches_tracked"] = np.asarray(
+                0, np.int64
+            )
+    return out
+
+
 def load_raw_state_dict(path: str) -> Dict[str, Any]:
     """Load a torch .pt/.tar pickle (CPU) or an .npz into a flat tensor
     dict. Unwraps the common {'state_dict': ...} nesting."""
