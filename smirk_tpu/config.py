@@ -93,8 +93,9 @@ class ArchConfig:
     # the generator, and the parity-1 stop-gradiented generator forward).
     # A targeted subset of bf16_compute for fp32 training runs: the frozen
     # outputs feed only the cycle MSE / the re-encode input. No-op when
-    # bf16_compute is already on. Measured on TPU in tools/
-    # tpu_cycle_attack.py (see PARITY.md cycle-path table).
+    # bf16_compute is already on. MEASURED NEUTRAL on v5e (parity 0 270.7
+    # vs 270.4 ms fp32 base — the fp32 backward into the UNet dominates;
+    # tools/tpu_cycle_attack.py, PARITY.md cycle-path table).
     bf16_cycle_frozen: bool = False
     # ImageNet-pretrained backbone init (reference smirk_encoder.py:7-12
     # passes pretrained=True to timm): paths to raw timm tf_mobilenetv3
