@@ -18,3 +18,13 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: `from smirk_tpu import Predictor` without importing jax at
+    # package-import time (host-only tools import smirk_tpu submodules)
+    if name == "Predictor":
+        from smirk_tpu.api import Predictor
+
+        return Predictor
+    raise AttributeError(f"module 'smirk_tpu' has no attribute {name!r}")

@@ -1,0 +1,69 @@
+"""High-level Predictor API (smirk_tpu.api)."""
+import numpy as np
+import pytest
+
+TINY_SMALL = [[("ds", 16, 16, 2)], [("ir", 24, 24, 2)], [("cn", 0, 40, 1)]]
+TINY_LARGE = [[("ds", 16, 16, 1)], [("ir", 24, 24, 2)], [("cn", 0, 48, 1)]]
+
+
+@pytest.fixture
+def predictor(monkeypatch):
+    from smirk_tpu.models import mobilenetv3 as mnv3
+
+    monkeypatch.setitem(mnv3.ARCHS, "tf_mobilenetv3_small_minimal_100",
+                        (TINY_SMALL, 40))
+    monkeypatch.setitem(mnv3.ARCHS, "tf_mobilenetv3_large_minimal_100",
+                        (TINY_LARGE, 48))
+    from smirk_tpu import Predictor  # lazy package export
+
+    return Predictor()
+
+
+def test_predict_batch_resize(predictor):
+    imgs = (np.random.default_rng(0).random((2, 120, 100, 3)) * 255
+            ).astype(np.uint8)
+    out = predictor(imgs)
+    S = predictor.image_size
+    assert out["rendered_img"].shape == (2, S, S, 3)
+    assert out["vertices"].shape[0] == 2
+    assert out["expression_params"].shape == (2, 50)
+    for k in ("pose_params", "cam", "shape_params", "jaw_params",
+              "eyelid_params", "landmarks_mp", "rendered_mask"):
+        assert k in out, k
+        assert np.isfinite(out[k]).all(), k
+
+
+def test_predict_single_image_with_landmark_crop(predictor):
+    img = (np.random.default_rng(1).random((160, 140, 3)) * 255
+           ).astype(np.uint8)
+    # plausible face landmarks clustered mid-image
+    kpt = np.random.default_rng(2).uniform(40, 100, (478, 2)).astype(
+        np.float32)
+    out = predictor(img, landmarks=kpt)
+    assert out["rendered_img"].shape[0] == 1
+
+
+def test_encode_then_edit_then_render(predictor):
+    imgs = np.random.default_rng(3).random((2, 224, 224, 3)).astype(
+        np.float32)
+    params = predictor.encode(imgs)
+    assert "expression_params" in params and "vertices" not in params
+    edited = dict(params)
+    edited["expression_params"] = params["expression_params"] + 1.0
+    r1 = predictor.render_params(params)
+    r2 = predictor.render_params(edited)
+    assert r1["vertices"].shape == r2["vertices"].shape
+    # editing the expression must move the geometry
+    assert np.abs(r1["vertices"] - r2["vertices"]).max() > 1e-4
+
+
+def test_full_call_matches_encode_plus_render(predictor):
+    imgs = np.random.default_rng(4).random((1, 224, 224, 3)).astype(
+        np.float32)
+    full = predictor(imgs)
+    two_step = predictor.render_params(predictor.encode(imgs))
+    np.testing.assert_allclose(full["vertices"], two_step["vertices"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(full["rendered_img"],
+                               two_step["rendered_img"],
+                               rtol=1e-5, atol=1e-6)
