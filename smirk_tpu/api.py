@@ -46,14 +46,16 @@ class Predictor:
         self.system, self.state = build_system(
             checkpoint, use_generator=use_generator, use_pallas=use_pallas)
         self.image_size = self.system.config.image_size
+        self.use_generator = use_generator and self.system.generator is not None
 
     # ------------------------------ helpers ------------------------------
 
     def _prepare(self, images: np.ndarray,
-                 landmarks: Optional[np.ndarray]) -> np.ndarray:
-        """uint8/float images (B,H,W,3) or (H,W,3) -> (B,S,S,3) f32 in
-        [0,1], resized or landmark-cropped (scale 1.4, the reference demo
-        crop, demo.py:87-99)."""
+                 landmarks: Optional[np.ndarray]):
+        """uint8/float images (B,H,W,3) or (H,W,3) -> ((B,S,S,3) f32 in
+        [0,1], landmarks mapped into the prepared frame or None), resized
+        or landmark-cropped (scale 1.4, the reference demo crop,
+        demo.py:87-99)."""
         from smirk_tpu.data import transforms as T
 
         images = np.asarray(images)
@@ -67,14 +69,16 @@ class Predictor:
             images = images / 255.0
         S = self.image_size
         out = np.empty((images.shape[0], S, S, 3), np.float32)
+        kpts = None if landmarks is None else np.empty(
+            (images.shape[0], np.asarray(landmarks).shape[-2], 2), np.float32)
         for i, img in enumerate(images):
             if landmarks is not None:
-                tform = T.crop_face_tform(
-                    np.asarray(landmarks[i])[..., :2], scale=1.4,
-                    image_size=S)
+                kpt = np.asarray(landmarks[i])[..., :2]
+                tform = T.crop_face_tform(kpt, scale=1.4, image_size=S)
                 out[i] = np.clip(
                     T.warp_affine(img * 255.0, tform, (S, S)), 0, 255
                 ) / 255.0
+                kpts[i] = T.transform_points(tform, kpt)
             elif img.shape[:2] != (S, S):
                 from PIL import Image
 
@@ -83,7 +87,7 @@ class Predictor:
                 ).resize((S, S))) / 255.0
             else:
                 out[i] = img
-        return out
+        return out, kpts
 
     # ------------------------------ API ------------------------------
 
@@ -95,7 +99,7 @@ class Predictor:
         Returns numpy arrays: pose/shape/expression/jaw/eyelid params, cam,
         vertices, 2D/3D landmark sets, rendered_img, rendered_mask.
         """
-        imgs = self._prepare(images, landmarks)
+        imgs, _ = self._prepare(images, landmarks)
         out = self.system.infer(self.state.encoder, imgs)
         return {k: np.asarray(v) for k, v in out.items()}
 
@@ -104,7 +108,7 @@ class Predictor:
                ) -> Dict[str, np.ndarray]:
         """Encoder only: FLAME parameters without geometry or rendering
         (cheaper when the caller only needs expression/pose codes)."""
-        imgs = self._prepare(images, landmarks)
+        imgs, _ = self._prepare(images, landmarks)
         out = self._encode_jit(self.state.encoder, imgs)
         return {k: np.asarray(v) for k, v in out.items()}
 
@@ -121,6 +125,86 @@ class Predictor:
 
             self._encode_fn = run
         return self._encode_fn
+
+    def reconstruct(self, images: np.ndarray, landmarks: np.ndarray,
+                    seed: int = 0) -> Dict[str, np.ndarray]:
+        """Analysis-by-neural-synthesis reconstruction (the reference
+        demo.py:133-182 generator branch, batched): render the predicted
+        mesh, sample mesh-anchored pixel hints with the demo's randomized
+        point budget (rsing/rscale/rbound), hull-mask the input, and run
+        the fuse generator on [render ‖ masked image].
+
+        Requires Predictor(use_generator=True) and mediapipe-style
+        landmarks (478+,2) per image in INPUT-image coordinates — they
+        drive both the face crop and the convex-hull mask. Returns the
+        __call__ outputs plus `masked_img` and `reconstructed_img`.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from smirk_tpu.data import transforms as T
+
+        if not self.use_generator:
+            raise ValueError(
+                "reconstruct() needs the fuse generator: build the "
+                "Predictor with use_generator=True")
+        if landmarks is None:
+            raise ValueError(
+                "reconstruct() needs landmarks for the hull mask (the "
+                "reference demo generator path has the same requirement)")
+        imgs, kpts = self._prepare(images, landmarks)
+        S = self.image_size
+        hull = np.stack(
+            [T.convex_hull_mask(k, (S, S)) for k in kpts]
+        ).astype(np.float32)[..., None]  # (B,S,S,1), 1 = background
+        out = self._reconstruct_jit(
+            self.state.encoder, self.state.generator,
+            jnp.asarray(imgs), jnp.asarray(hull), jax.random.PRNGKey(seed))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    @property
+    def _reconstruct_jit(self):
+        import jax
+        import jax.numpy as jnp
+
+        from smirk_tpu import masking as M
+
+        if not hasattr(self, "_reconstruct_fn"):
+            system = self.system
+            S = self.image_size
+            # demo defaults (reference demo.py:144-160)
+            mask_ratio, mask_ratio_mul, dilation = 0.01, 5, 10
+            n_upper = int(mask_ratio * mask_ratio_mul * S * S)
+
+            @jax.jit
+            def run(enc_vars, gen_vars, img, hull, key):
+                out = system.infer(enc_vars, img)
+                B = img.shape[0]
+                k1, k2, k3, k4 = jax.random.split(key, 4)
+                npoints, _ = M.sample_mesh_points(
+                    k1, out["transformed_vertices"], system.flame.faces,
+                    system.face_probabilities, n_upper, S)
+                # per-image randomized point budget (demo.py:154-160)
+                rsing = jax.random.randint(k2, (B,), 0, 2) * 2 - 1
+                rscale = jax.random.uniform(
+                    k3, (B,)) * (mask_ratio_mul - 1) + 1
+                rbound = (n_upper / mask_ratio_mul
+                          * (rscale ** rsing)).astype(jnp.int32)
+                extra = M.transfer_pixels(
+                    img, npoints, npoints, valid_count=rbound)
+                masked = M.compose_mask(
+                    k4, img, hull, extra, dilation_radius=dilation,
+                    rendered_mask=out["rendered_mask"],
+                    extra_noise=True, random_mask=0.01)
+                recon = system.generator.apply(
+                    gen_vars,
+                    jnp.concatenate([out["rendered_img"], masked], -1),
+                    train=False)
+                return {**out, "masked_img": masked,
+                        "reconstructed_img": recon}
+
+            self._reconstruct_fn = run
+        return self._reconstruct_fn
 
     def render_params(self, params: Dict[str, np.ndarray]
                       ) -> Dict[str, np.ndarray]:

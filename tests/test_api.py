@@ -19,6 +19,49 @@ def predictor(monkeypatch):
     return Predictor()
 
 
+@pytest.fixture
+def gen_predictor(monkeypatch):
+    from smirk_tpu.models import mobilenetv3 as mnv3
+
+    monkeypatch.setitem(mnv3.ARCHS, "tf_mobilenetv3_small_minimal_100",
+                        (TINY_SMALL, 40))
+    monkeypatch.setitem(mnv3.ARCHS, "tf_mobilenetv3_large_minimal_100",
+                        (TINY_LARGE, 48))
+    from smirk_tpu import Predictor
+
+    return Predictor(use_generator=True)
+
+
+def test_reconstruct_generator_path(gen_predictor):
+    rng = np.random.default_rng(5)
+    imgs = (rng.random((2, 300, 280, 3)) * 255).astype(np.uint8)
+    theta = np.linspace(0, 2 * np.pi, 478, endpoint=False)
+    kpt = np.stack([140 + 60 * np.cos(theta), 150 + 80 * np.sin(theta)],
+                   1).astype(np.float32)[None].repeat(2, 0)
+    out = gen_predictor.reconstruct(imgs, landmarks=kpt)
+    S = gen_predictor.image_size
+    for k in ("rendered_img", "masked_img", "reconstructed_img"):
+        assert out[k].shape == (2, S, S, 3), k
+        assert np.isfinite(out[k]).all(), k
+    # generator output is sigmoid-bounded
+    assert out["reconstructed_img"].min() >= 0.0
+    assert out["reconstructed_img"].max() <= 1.0
+    # the masked input must actually erase face pixels (hull interior)
+    assert (out["masked_img"] == 0).mean() > 0.05
+    # determinism under the same seed, fresh budget draw under another
+    out2 = gen_predictor.reconstruct(imgs, landmarks=kpt, seed=0)
+    np.testing.assert_allclose(out["masked_img"], out2["masked_img"])
+
+
+def test_reconstruct_requires_generator_and_landmarks(predictor,
+                                                      gen_predictor):
+    img = np.zeros((224, 224, 3), np.float32)
+    with pytest.raises(ValueError, match="use_generator"):
+        predictor.reconstruct(img, landmarks=np.zeros((478, 2), np.float32))
+    with pytest.raises(ValueError, match="landmarks"):
+        gen_predictor.reconstruct(img, landmarks=None)
+
+
 def test_predict_batch_resize(predictor):
     imgs = (np.random.default_rng(0).random((2, 120, 100, 3)) * 255
             ).astype(np.uint8)
