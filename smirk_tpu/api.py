@@ -137,7 +137,8 @@ class Predictor:
         Requires Predictor(use_generator=True) and mediapipe-style
         landmarks (478+,2) per image in INPUT-image coordinates — they
         drive both the face crop and the convex-hull mask. Returns the
-        __call__ outputs plus `masked_img` and `reconstructed_img`.
+        __call__ outputs plus `cropped_img` (the prepared input),
+        `masked_img`, and `reconstructed_img`.
         """
         import jax
         import jax.numpy as jnp
@@ -160,7 +161,8 @@ class Predictor:
         out = self._reconstruct_jit(
             self.state.encoder, self.state.generator,
             jnp.asarray(imgs), jnp.asarray(hull), jax.random.PRNGKey(seed))
-        return {k: np.asarray(v) for k, v in out.items()}
+        return {"cropped_img": imgs,
+                **{k: np.asarray(v) for k, v in out.items()}}
 
     @property
     def _reconstruct_jit(self):

@@ -60,6 +60,25 @@ def test_expression_edit_example(tiny_archs, tmp_path):
     assert panel.shape[1] == 3 * panel.shape[0]  # [input|recon|edited]
 
 
+def test_reconstruct_example(tiny_archs, tmp_path):
+    import reconstruct as ex
+
+    img = tmp_path / "face.png"
+    _face_png(img, seed=11, size=(200, 180))
+    theta = np.linspace(0, 2 * np.pi, 478, endpoint=False)
+    lmk = np.stack([100 + 40 * np.cos(theta), 90 + 50 * np.sin(theta)],
+                   1).astype(np.float32)
+    lmk_path = tmp_path / "lmk.npy"
+    np.save(lmk_path, lmk)
+    out = tmp_path / "recon.png"
+    ex.main(["--image", str(img), "--landmarks", str(lmk_path),
+             "--out", str(out)])
+    from PIL import Image
+
+    panel = np.asarray(Image.open(out))
+    assert panel.shape[1] == 4 * panel.shape[0]  # 4 columns
+
+
 def test_serve_client_example(tiny_archs, tmp_path, capsys):
     import threading
 
