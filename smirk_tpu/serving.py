@@ -50,13 +50,80 @@ def make_inference_fn(system, encoder_vars) -> Callable:
     return forward
 
 
+def make_reconstruct_fn(system, encoder_vars, generator_vars) -> Callable:
+    """Pure (img, hull, key)->outputs closure: the analysis-by-neural-
+    synthesis reconstruction (reference demo.py:133-182 generator branch,
+    same math as smirk_tpu.api.Predictor.reconstruct). `hull` is the
+    convex-hull background mask (B,H,W,1), 1 = background (computed
+    host-side from landmarks, data/transforms.convex_hull_mask); `key` is
+    a raw uint32 (2,) PRNG key driving the randomized point budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from smirk_tpu import masking as M
+
+    c = system.config
+    S = c.image_size
+    mask_ratio = float(c.train.mask_ratio)
+    mask_ratio_mul = float(c.train.mask_ratio_mul)
+    dilation = int(c.train.mask_dilation_radius)
+    n_upper = int(mask_ratio * mask_ratio_mul * S * S)
+    base = _reconstruct_base(system, encoder_vars)
+
+    def forward(img, hull, key):
+        out = base(img)
+        B = img.shape[0]
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        npoints, _ = M.sample_mesh_points(
+            k1, out["transformed_vertices"], system.flame.faces,
+            system.face_probabilities, n_upper, S)
+        rsing = jax.random.randint(k2, (B,), 0, 2) * 2 - 1
+        rscale = jax.random.uniform(k3, (B,)) * (mask_ratio_mul - 1) + 1
+        rbound = (n_upper / mask_ratio_mul
+                  * (rscale ** rsing)).astype(jnp.int32)
+        extra = M.transfer_pixels(img, npoints, npoints, valid_count=rbound)
+        masked = M.compose_mask(
+            k4, img, hull, extra, dilation_radius=dilation,
+            rendered_mask=out["rendered_mask"],
+            extra_noise=True, random_mask=0.01)
+        recon = system.generator.apply(
+            generator_vars,
+            jnp.concatenate([out["rendered_img"], masked], -1),
+            train=False)
+        keep = {k: out[k] for k in OUTPUT_KEYS if k in out}
+        return {**keep, "masked_img": masked, "reconstructed_img": recon}
+
+    return forward
+
+
+def _reconstruct_base(system, encoder_vars):
+    """make_inference_fn variant keeping transformed_vertices (needed by
+    the mesh point sampler but not part of the serving OUTPUT_KEYS)."""
+
+    def forward(img):
+        enc_out = system.encoder.apply(encoder_vars, img, train=False)
+        flame_out = system.flame(enc_out)
+        rend = system.renderer(
+            flame_out["vertices"], enc_out["cam"],
+            {"landmarks_fan": flame_out["landmarks_fan"],
+             "landmarks_mp": flame_out["landmarks_mp"]},
+            inference=True,
+        )
+        return {**enc_out, **flame_out, **rend}
+
+    return forward
+
+
 def _export_artifact(system, jit_fn, batch_size: int, path: str,
                      platforms: Optional[Sequence[str]],
-                     extra_meta: Optional[dict] = None) -> str:
-    """Shared export tail: lower `jit_fn` on the (batch,H,W,3) input spec,
-    serialize, and write artifact + sidecar metadata. Cross-lowering for an
-    accelerator target from a CPU host must emit the real Mosaic kernels,
-    not the interpret-mode lax graph — hence the interpret override guard."""
+                     extra_meta: Optional[dict] = None,
+                     extra_specs: Sequence = (),
+                     outputs: Sequence[str] = OUTPUT_KEYS) -> str:
+    """Shared export tail: lower `jit_fn` on the (batch,H,W,3) input spec
+    (plus `extra_specs`), serialize, and write artifact + sidecar
+    metadata. Cross-lowering for an accelerator target from a CPU host
+    must emit the real Mosaic kernels, not the interpret-mode lax graph —
+    hence the interpret override guard."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -73,7 +140,7 @@ def _export_artifact(system, jit_fn, batch_size: int, path: str,
     try:
         exp = jax_export.export(
             jit_fn, platforms=tuple(platforms) if platforms else None
-        )(spec)
+        )(spec, *extra_specs)
     finally:
         if force_compiled:
             raster_lib.set_interpret_override(None)
@@ -87,7 +154,7 @@ def _export_artifact(system, jit_fn, batch_size: int, path: str,
     meta = {
         "input": {"shape": [batch_size, size, size, 3], "dtype": "float32",
                   "layout": "NHWC", "range": "[0, 1] RGB"},
-        "outputs": list(OUTPUT_KEYS),
+        "outputs": list(outputs),
         "platforms": list(exp.platforms),
         **(extra_meta or {}),
         "bytes": len(blob),
@@ -156,6 +223,43 @@ def export_inference_sharded(
     )
 
 
+def export_reconstruct(
+    system,
+    encoder_vars,
+    generator_vars,
+    path: str,
+    batch_size: int = 8,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Serialize the full analysis-by-neural-synthesis reconstruction
+    (encode -> render -> mesh-anchored hints -> hull mask -> fuse
+    generator) as a serving artifact. Inputs: img (B,H,W,3) f32 [0,1],
+    hull (B,H,W,1) f32 background mask (1 = background), key uint32 (2,)
+    PRNG key for the randomized point budget."""
+    import jax
+    import jax.numpy as jnp
+
+    size = system.config.image_size
+    fn = make_reconstruct_fn(system, encoder_vars, generator_vars)
+    extra_specs = (
+        jax.ShapeDtypeStruct((batch_size, size, size, 1), jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+    )
+    return _export_artifact(
+        system, jax.jit(fn), batch_size, path, platforms,
+        extra_meta={
+            "kind": "reconstruct",
+            "extra_inputs": [
+                {"name": "hull", "shape": [batch_size, size, size, 1],
+                 "dtype": "float32", "note": "1 = background"},
+                {"name": "key", "shape": [2], "dtype": "uint32"},
+            ],
+        },
+        extra_specs=extra_specs,
+        outputs=tuple(OUTPUT_KEYS) + ("masked_img", "reconstructed_img"),
+    )
+
+
 class InferenceServer:
     """Request-level wrapper over a loaded artifact: accepts any batch size
     by chunking to the exported batch (padding the tail with zeros and
@@ -171,8 +275,18 @@ class InferenceServer:
             self.meta = json.load(f)
         self.batch = int(self.meta["input"]["shape"][0])
         self.input_shape = tuple(self.meta["input"]["shape"][1:])
+        self.kind = self.meta.get("kind", "inference")
 
-    def predict(self, img: np.ndarray) -> Dict[str, np.ndarray]:
+    def predict(self, img: np.ndarray,
+                hull: Optional[np.ndarray] = None,
+                seed: int = 0) -> Dict[str, np.ndarray]:
+        """Run the artifact over any batch size (chunk + pad + trim).
+
+        Reconstruct artifacts additionally need `hull` (N,H,W,1) background
+        masks (1 = background) and take a point-budget `seed`; each chunk
+        folds its index into the seed so identical chunk contents draw
+        distinct budgets.
+        """
         img = np.asarray(img, np.float32)
         if img.shape[1:] != self.input_shape:
             raise ValueError(
@@ -181,15 +295,34 @@ class InferenceServer:
         n = img.shape[0]
         if n == 0:
             raise ValueError("empty batch: need at least one image")
+        if self.kind == "reconstruct":
+            if hull is None:
+                raise ValueError(
+                    "reconstruct artifact needs `hull` (N,H,W,1) background "
+                    "masks (1 = background; data/transforms.convex_hull_mask)")
+            hull = np.asarray(hull, np.float32)
+            if hull.shape != img.shape[:3] + (1,):
+                raise ValueError(
+                    f"hull shape {hull.shape} != {img.shape[:3] + (1,)}")
         chunks = []
-        for lo in range(0, n, self.batch):
+        for ci, lo in enumerate(range(0, n, self.batch)):
             part = img[lo: lo + self.batch]
             pad = self.batch - part.shape[0]
             if pad:
                 part = np.concatenate(
                     [part, np.zeros((pad,) + self.input_shape, np.float32)]
                 )
-            out = self.call(part)
+            if self.kind == "reconstruct":
+                hpart = hull[lo: lo + self.batch]
+                if pad:
+                    hpart = np.concatenate(
+                        [hpart, np.ones((pad,) + hpart.shape[1:],
+                                        np.float32)])
+                s = int(seed) + ci
+                key = np.asarray([s >> 32, s & 0xFFFFFFFF], np.uint32)
+                out = self.call(part, hpart, key)
+            else:
+                out = self.call(part)
             chunks.append({k: np.asarray(v) for k, v in out.items()})
         return {
             k: np.concatenate([c[k] for c in chunks])[:n]
@@ -204,8 +337,10 @@ def create_http_server(artifact_path: str, host: str = "0.0.0.0",
     Protocol:
       GET  /healthz  -> 200 "ok" (readiness probe)
       GET  /meta     -> the artifact's sidecar metadata json
-      POST /predict  -> body: npz with key "img" (N,H,W,3) float32 in [0,1];
-                        response: npz of the OUTPUT_KEYS arrays
+      POST /predict  -> body: npz with key "img" (N,H,W,3) float32 in [0,1]
+                        (+ "hull" (N,H,W,1) and optional scalar "seed" for
+                        reconstruct artifacts);
+                        response: npz of the artifact's output arrays
 
     Returns the ThreadingHTTPServer (caller runs serve_forever())."""
     import io
@@ -240,7 +375,10 @@ def create_http_server(artifact_path: str, host: str = "0.0.0.0",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 data = np.load(io.BytesIO(self.rfile.read(n)))
-                out = server_obj.predict(data["img"])
+                out = server_obj.predict(
+                    data["img"],
+                    hull=data["hull"] if "hull" in data else None,
+                    seed=int(data["seed"]) if "seed" in data else 0)
                 buf = io.BytesIO()
                 np.savez(buf, **out)
                 self._send(200, buf.getvalue())
@@ -278,8 +416,19 @@ def load_inference(path: str) -> Callable[[np.ndarray], Dict[str, np.ndarray]]:
         )
     mesh = Mesh(np.asarray(devs[: exp.nr_devices]), ("data",))
     shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
 
-    def call(img):
-        return exp.call(jax.device_put(img, shard))
+    def call(img, *rest):
+        # batch-leading arrays shard over the mesh; small operands (PRNG
+        # keys) replicate
+        batch = np.asarray(img).shape[0]
+        placed = [
+            jax.device_put(
+                a, shard
+                if getattr(np.asarray(a), "shape", ())[:1] == (batch,)
+                else repl)
+            for a in rest
+        ]
+        return exp.call(jax.device_put(img, shard), *placed)
 
     return call

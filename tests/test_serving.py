@@ -130,6 +130,87 @@ def test_http_serving_host(tiny_system, tmp_path):
         srv.shutdown()
 
 
+def test_export_reconstruct_roundtrip(tiny_system, tmp_path):
+    """Generator-path artifact: (img, hull, key) -> reconstruction, equal
+    to the direct closure, fully self-contained."""
+    system, state = tiny_system
+    path = serving.export_reconstruct(
+        system, state.encoder, state.generator, str(tmp_path / "rec"),
+        batch_size=2)
+    meta = json.load(open(path + ".json"))
+    assert meta["kind"] == "reconstruct"
+    assert "masked_img" in meta["outputs"]
+    assert meta["extra_inputs"][0]["name"] == "hull"
+
+    rng = np.random.default_rng(3)
+    img = rng.random((2, 64, 64, 3)).astype(np.float32)
+    hull = np.ones((2, 64, 64, 1), np.float32)
+    hull[:, 16:48, 16:48, 0] = 0.0  # face region (hull: 1 = background)
+    key = np.asarray(jax.random.PRNGKey(7), np.uint32)
+
+    serve = serving.load_inference(path)
+    out = serve(img, hull, key)
+    direct = serving.make_reconstruct_fn(
+        system, state.encoder, state.generator)(img, hull, key)
+    assert set(out) == set(direct)
+    for k in out:
+        np.testing.assert_allclose(np.asarray(out[k]),
+                                   np.asarray(direct[k]),
+                                   atol=1e-5, err_msg=k)
+    # the mask actually erased face pixels and the generator is bounded
+    assert (np.asarray(out["masked_img"]) == 0).mean() > 0.05
+    assert np.asarray(out["reconstructed_img"]).min() >= 0.0
+    assert np.asarray(out["reconstructed_img"]).max() <= 1.0
+
+
+def test_http_serving_reconstruct(tiny_system, tmp_path):
+    """Daemon over a reconstruct artifact: hull + seed through /predict,
+    ragged batch (3 through batch 2), deterministic per seed."""
+    import io
+    import threading
+    import urllib.request
+
+    system, state = tiny_system
+    path = serving.export_reconstruct(
+        system, state.encoder, state.generator, str(tmp_path / "recsrv"),
+        batch_size=2)
+    srv = serving.create_http_server(path, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        rng = np.random.default_rng(4)
+        img = rng.random((3, 64, 64, 3)).astype(np.float32)
+        hull = np.ones((3, 64, 64, 1), np.float32)
+        hull[:, 20:44, 20:44, 0] = 0.0
+
+        def post(seed):
+            buf = io.BytesIO()
+            np.savez(buf, img=img, hull=hull, seed=np.int64(seed))
+            req = urllib.request.Request(
+                base + "/predict", data=buf.getvalue(), method="POST")
+            return dict(np.load(io.BytesIO(urllib.request.urlopen(req).read())))
+
+        out = post(0)
+        assert out["reconstructed_img"].shape == (3, 64, 64, 3)
+        assert np.isfinite(out["reconstructed_img"]).all()
+        # deterministic per seed; fresh point budgets under another
+        np.testing.assert_allclose(out["masked_img"], post(0)["masked_img"])
+
+        # missing hull -> clear 400
+        buf = io.BytesIO()
+        np.savez(buf, img=img)
+        req = urllib.request.Request(base + "/predict", data=buf.getvalue(),
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"hull" in e.read()
+    finally:
+        srv.shutdown()
+
+
 def test_export_tpu_cross_lowering_contains_mosaic(tmp_path):
     """A TPU artifact exported from this CPU host must embed the real Pallas
     kernels (tpu_custom_call), not the interpret-mode lax graph."""

@@ -23,7 +23,16 @@ def main(argv=None):
     p.add_argument("--devices", type=int, default=1,
                    help="shard the batch over a 1-D data mesh of N devices "
                         "(multi-chip serving artifact)")
+    p.add_argument("--reconstruct", action="store_true",
+                   help="export the full analysis-by-neural-synthesis "
+                        "reconstruction (render + hints + hull mask + fuse "
+                        "generator) instead of the params/render step; "
+                        "inputs become (img, hull, key)")
     args = p.parse_args(argv)
+    if args.reconstruct and args.devices > 1:
+        p.error("--reconstruct is single-device (shard by running one "
+                "artifact per chip; the batch axis is embarrassingly "
+                "parallel)")
 
     from smirk_tpu import serving
     from smirk_tpu.cli.demo import build_system
@@ -35,10 +44,16 @@ def main(argv=None):
     if os.environ.get("SMIRK_PLATFORM"):  # must apply BEFORE default_backend
         jax.config.update("jax_platforms", os.environ["SMIRK_PLATFORM"])
     target = args.platform or jax.default_backend()
-    system, state = build_system(args.checkpoint, use_generator=False,
+    system, state = build_system(args.checkpoint,
+                                 use_generator=args.reconstruct,
                                  use_pallas=target not in ("cpu",))
     platforms = [args.platform] if args.platform else None
-    if args.devices > 1:
+    if args.reconstruct:
+        path = serving.export_reconstruct(
+            system, state.encoder, state.generator, args.out,
+            batch_size=args.batch, platforms=platforms,
+        )
+    elif args.devices > 1:
         path = serving.export_inference_sharded(
             system, state.encoder, args.out, batch_size=args.batch,
             n_devices=args.devices, platforms=platforms,
