@@ -174,8 +174,12 @@ class Predictor:
         if not hasattr(self, "_reconstruct_fn"):
             system = self.system
             S = self.image_size
-            # demo defaults (reference demo.py:144-160)
-            mask_ratio, mask_ratio_mul, dilation = 0.01, 5, 10
+            # config defaults == the reference demo's constants
+            # (demo.py:144-160): mask_ratio 0.01, mul 5, dilation 10
+            c = system.config.train
+            mask_ratio = float(c.mask_ratio)
+            mask_ratio_mul = float(c.mask_ratio_mul)
+            dilation = int(c.mask_dilation_radius)
             n_upper = int(mask_ratio * mask_ratio_mul * S * S)
 
             @jax.jit
