@@ -9,7 +9,11 @@
 
 Protocol (smirk_tpu/serving.py): POST /predict with an npz body holding
 key "img" (N,H,W,3) float32 in [0,1]; the response is an npz of outputs.
-Client side needs only numpy + PIL + the standard library.
+Against a reconstruct artifact (export_serving.py --reconstruct) also pass
+--landmarks: the client computes the hull background mask locally and adds
+"hull" (+ optional "seed") to the request.
+Client side needs only numpy + PIL + the standard library (the hull fill
+imports smirk_tpu.data.transforms, pure numpy).
 """
 import argparse
 import io
@@ -23,6 +27,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--image", required=True)
     p.add_argument("--url", default="http://localhost:8000")
+    p.add_argument("--landmarks", default=None,
+                   help="npy mediapipe landmarks (478,2+) in image coords; "
+                        "required when the artifact is a reconstruct export")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -30,12 +38,24 @@ def main(argv=None):
     meta = json.loads(urllib.request.urlopen(args.url + "/meta").read())
     _, H, W, _ = meta["input"]["shape"]
 
-    img = np.asarray(
-        Image.open(args.image).convert("RGB").resize((W, H)),
-        np.float32) / 255.0
+    im = Image.open(args.image).convert("RGB")
+    W0, H0 = im.size
+    img = np.asarray(im.resize((W, H)), np.float32) / 255.0
+
+    payload = {"img": img[None]}
+    if meta.get("kind") == "reconstruct":
+        if not args.landmarks:
+            raise SystemExit("this artifact needs --landmarks for the hull")
+        from smirk_tpu.data import transforms as T
+
+        kpt = np.load(args.landmarks)[..., :2].astype(np.float32)
+        kpt = kpt * [W / W0, H / H0]  # into the resized frame
+        payload["hull"] = T.convex_hull_mask(
+            kpt, (H, W)).astype(np.float32)[None, :, :, None]
+        payload["seed"] = np.int64(args.seed)
 
     buf = io.BytesIO()
-    np.savez(buf, img=img[None])
+    np.savez(buf, **payload)
     req = urllib.request.Request(
         args.url + "/predict", data=buf.getvalue(),
         headers={"Content-Type": "application/octet-stream"})

@@ -60,6 +60,50 @@ def test_expression_edit_example(tiny_archs, tmp_path):
     assert panel.shape[1] == 3 * panel.shape[0]  # [input|recon|edited]
 
 
+def test_serve_client_reconstruct(tiny_archs, tmp_path, capsys):
+    """serve_client against a reconstruct artifact: hull computed client-
+    side from landmarks, seed forwarded."""
+    import threading
+
+    import serve_client as ex
+
+    from smirk_tpu import assets, serving
+    from smirk_tpu.config import ArchConfig, Config
+    from smirk_tpu.train import SmirkSystem
+
+    cfg = Config(image_size=64,
+                 arch=ArchConfig(num_expression=10, num_shape=30))
+    system = SmirkSystem(cfg, assets.load_all(), steps_per_epoch=10,
+                         use_pallas=False, generator_features=8,
+                         generator_res_blocks=1)
+    state = system.init_state(jax.random.PRNGKey(0))
+    path = serving.export_reconstruct(
+        system, state.encoder, state.generator, str(tmp_path / "rsrv"),
+        batch_size=1)
+    srv = serving.create_http_server(path, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        img = tmp_path / "face.png"
+        _face_png(img, seed=5, size=(120, 100))
+        theta = np.linspace(0, 2 * np.pi, 478, endpoint=False)
+        lmk = np.stack([60 + 30 * np.cos(theta), 50 + 35 * np.sin(theta)],
+                       1).astype(np.float32)
+        lmk_path = tmp_path / "lmk.npy"
+        np.save(lmk_path, lmk)
+        ex.main(["--image", str(img), "--landmarks", str(lmk_path),
+                 "--seed", "4", "--url", f"http://127.0.0.1:{port}"])
+        printed = capsys.readouterr().out
+        assert "reconstructed_img" in printed and "masked_img" in printed
+
+        # missing --landmarks against a reconstruct artifact -> clear exit
+        with pytest.raises(SystemExit, match="landmarks"):
+            ex.main(["--image", str(img),
+                     "--url", f"http://127.0.0.1:{port}"])
+    finally:
+        srv.shutdown()
+
+
 def test_reconstruct_example(tiny_archs, tmp_path):
     import reconstruct as ex
 
