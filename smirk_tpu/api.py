@@ -59,13 +59,24 @@ class Predictor:
         from smirk_tpu.data import transforms as T
 
         images = np.asarray(images)
+        # dtype decides the 0-255 branch (a value heuristic would misread
+        # dark uint8 frames as already [0,1]); the max() check remains only
+        # for float arrays holding 0-255 data
+        was_integer = np.issubdtype(images.dtype, np.integer)
         if images.ndim == 3:
             images = images[None]
-            if landmarks is not None and np.asarray(landmarks).ndim == 2:
-                landmarks = np.asarray(landmarks)[None]
+        if landmarks is not None:
+            landmarks = np.asarray(landmarks)
+            if landmarks.ndim == 2:  # one landmark set for every image
+                landmarks = np.broadcast_to(
+                    landmarks, (images.shape[0],) + landmarks.shape)
+            elif landmarks.shape[0] != images.shape[0]:
+                raise ValueError(
+                    f"landmarks batch {landmarks.shape[0]} != images "
+                    f"batch {images.shape[0]}")
         if images.dtype != np.float32:
             images = images.astype(np.float32)
-        if images.max() > 2.0:  # uint8-range input
+        if was_integer or images.max() > 2.0:  # 0-255-range input
             images = images / 255.0
         S = self.image_size
         out = np.empty((images.shape[0], S, S, 3), np.float32)
@@ -167,45 +178,17 @@ class Predictor:
     @property
     def _reconstruct_jit(self):
         import jax
-        import jax.numpy as jnp
-
-        from smirk_tpu import masking as M
 
         if not hasattr(self, "_reconstruct_fn"):
             system = self.system
-            S = self.image_size
-            # config defaults == the reference demo's constants
-            # (demo.py:144-160): mask_ratio 0.01, mul 5, dilation 10
-            c = system.config.train
-            mask_ratio = float(c.mask_ratio)
-            mask_ratio_mul = float(c.mask_ratio_mul)
-            dilation = int(c.mask_dilation_radius)
-            n_upper = int(mask_ratio * mask_ratio_mul * S * S)
 
             @jax.jit
             def run(enc_vars, gen_vars, img, hull, key):
                 out = system.infer(enc_vars, img)
-                B = img.shape[0]
-                k1, k2, k3, k4 = jax.random.split(key, 4)
-                npoints, _ = M.sample_mesh_points(
-                    k1, out["transformed_vertices"], system.flame.faces,
-                    system.face_probabilities, n_upper, S)
-                # per-image randomized point budget (demo.py:154-160)
-                rsing = jax.random.randint(k2, (B,), 0, 2) * 2 - 1
-                rscale = jax.random.uniform(
-                    k3, (B,)) * (mask_ratio_mul - 1) + 1
-                rbound = (n_upper / mask_ratio_mul
-                          * (rscale ** rsing)).astype(jnp.int32)
-                extra = M.transfer_pixels(
-                    img, npoints, npoints, valid_count=rbound)
-                masked = M.compose_mask(
-                    k4, img, hull, extra, dilation_radius=dilation,
-                    rendered_mask=out["rendered_mask"],
-                    extra_noise=True, random_mask=0.01)
-                recon = system.generator.apply(
-                    gen_vars,
-                    jnp.concatenate([out["rendered_img"], masked], -1),
-                    train=False)
+                # shared budget/mask math: SmirkSystem.reconstruct (also
+                # used by cli/demo.py and serving.export_reconstruct)
+                masked, recon = system.reconstruct(
+                    gen_vars, out, img, hull, key)
                 return {**out, "masked_img": masked,
                         "reconstructed_img": recon}
 

@@ -66,7 +66,6 @@ def process_image(system, state, image: np.ndarray, kpt: Optional[np.ndarray],
     import jax.numpy as jnp
 
     from smirk_tpu.data import transforms as T
-    from smirk_tpu import masking as M
 
     H0, W0 = image.shape[:2]
     tform = None
@@ -93,28 +92,13 @@ def process_image(system, state, image: np.ndarray, kpt: Optional[np.ndarray],
 
     if use_generator and system.generator is not None:
         assert kpt_c is not None, "generator path needs landmarks"
-        # randomized point-budget sampling (reference demo.py:133-182)
-        mask_ratio, mask_ratio_mul, dilation = 0.01, 5, 10
-        n_upper = int(mask_ratio * mask_ratio_mul * 224 * 224)
-        key = jax.random.PRNGKey(rng_seed)
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        npoints, _ = M.sample_mesh_points(
-            k1, out["transformed_vertices"], system.flame.faces,
-            system.face_probabilities, n_upper, 224,
-        )
-        rsing = jax.random.randint(k2, (1,), 0, 2) * 2 - 1
-        rscale = jax.random.uniform(k3, (1,)) * (mask_ratio_mul - 1) + 1
-        rbound = (n_upper / mask_ratio_mul * (rscale ** rsing)).astype(jnp.int32)
-        extra = M.transfer_pixels(img, npoints, npoints, valid_count=rbound)
+        # randomized point-budget sampling + hull masking + generator:
+        # shared math in SmirkSystem.reconstruct (reference demo.py:133-182)
         hull = T.convex_hull_mask(kpt_c, (224, 224))  # 1=background
-        masked = M.compose_mask(
-            k4, img, jnp.asarray(hull[None, :, :, None]), extra,
-            dilation_radius=dilation, rendered_mask=out["rendered_mask"],
-            extra_noise=True, random_mask=0.01,
-        )
-        recon = system.generator.apply(
-            state.generator, jnp.concatenate([out["rendered_img"], masked], -1),
-            train=False,
+        masked, recon = system.reconstruct(
+            state.generator, out, img,
+            jnp.asarray(hull[None, :, :, None], jnp.float32),
+            jax.random.PRNGKey(rng_seed),
         )
         result["masked_img"] = np.asarray(masked[0])
         result["reconstructed_img"] = np.asarray(recon[0])

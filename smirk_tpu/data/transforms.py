@@ -275,8 +275,10 @@ def augment(
         img = _clahe(img, rng.uniform(1.0, 4.0))
     if rng.random() < 0.25:  # RGBShift (shift_limit 20/255 per channel)
         img = img + rng.uniform(-20.0, 20.0, 3).astype(np.float32) / 255.0
-    if rng.random() < 0.1:  # Blur (box kernel, size 3..7)
-        k = int(rng.integers(3, 8))
+    if rng.random() < 0.1:  # Blur (box kernel, odd size 3/5/7 — even
+        # sizes would shift content half a pixel off the keypoints, and
+        # albumentations draws odd ksizes only)
+        k = 2 * int(rng.integers(1, 4)) + 1
         img = ndimage.uniform_filter(img, size=(k, k, 1))
     if rng.random() < 0.5:  # GaussNoise (var_limit 10..50 on the 255 scale)
         std = np.sqrt(rng.uniform(10.0, 50.0)) / 255.0

@@ -1435,8 +1435,9 @@ def rasterize_normals_fused(
     """Fused inference raster: -> (normal image (B,H,W,3), pix_to_face,
     zbuf). Non-differentiable (inference/visualization path; training uses
     interpolate_attributes for gradients). bin_approx: recall target for
-    approx_max_k binning (inference-quality knob; the differentiable
-    training raster keeps exact top_k). return_overflow appends a (B,)
+    approx_max_k binning (None = exact top_k; the differentiable raster
+    has its own default — see renderer.diff_bin_approx and the empirical
+    zero-miss caveat there). return_overflow appends a (B,)
     int32 count of compact chunks dropped past the budget (zeros on the
     padded path) — see _compact_plan."""
     assert capacity % V3_CHUNK == 0

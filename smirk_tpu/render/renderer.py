@@ -41,10 +41,15 @@ class Renderer:
         self.use_pallas = use_pallas
         self.bin_approx = bin_approx
         # approx binning for the DIFFERENTIABLE raster too (round 3): the
-        # exact top_k costs 11.7ms vs 6.0ms/batch64 and approx returns the
-        # complete membership whenever bins don't overflow (measured zero
-        # misses at the auto capacity; tools/tpu_bin_attack.py), so values
-        # and gradients are unchanged. None restores exact top_k.
+        # exact top_k costs 11.7ms vs 6.0ms/batch64, and at the auto
+        # capacity approx returned the complete membership (measured zero
+        # misses on this mesh; tools/tpu_bin_attack.py), making values and
+        # gradients bit-identical. CAVEAT: zero-miss is an empirical result
+        # at this mesh/capacity, not an approx_max_k API guarantee, and a
+        # miss would NOT show in raster_overflow (counts are computed after
+        # selection) — on unusual meshes/scales set SMIRK_DIFF_BIN_EXACT=1
+        # (or diff_bin_approx=None) to restore exact top_k. A pre- vs
+        # post-selection count check is the round-4 hardening (ROADMAP).
         self.diff_bin_approx = diff_bin_approx
         if os.environ.get("SMIRK_DIFF_BIN_EXACT"):
             self.diff_bin_approx = None
@@ -236,8 +241,9 @@ class Renderer:
             return_overflow=True,
             # approximate top-k binning, TPU-native; measured bit-identical
             # output at 16.2 -> 15.2 ms/batch64 (tools/tpu_approx_bin_bench
-            # .py). Inference only — the differentiable raster keeps exact
-            # top_k so training gradients are deterministic.
+            # .py). The differentiable raster defaults to approx too since
+            # round 3 (diff_bin_approx above; SMIRK_DIFF_BIN_EXACT
+            # restores exact top_k).
             bin_approx=self.bin_approx,
         )
         mask = (pix_to_face >= 0)[..., None].astype(normal_img.dtype)

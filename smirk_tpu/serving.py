@@ -52,64 +52,20 @@ def make_inference_fn(system, encoder_vars) -> Callable:
 
 def make_reconstruct_fn(system, encoder_vars, generator_vars) -> Callable:
     """Pure (img, hull, key)->outputs closure: the analysis-by-neural-
-    synthesis reconstruction (reference demo.py:133-182 generator branch,
-    same math as smirk_tpu.api.Predictor.reconstruct). `hull` is the
-    convex-hull background mask (B,H,W,1), 1 = background (computed
-    host-side from landmarks, data/transforms.convex_hull_mask); `key` is
-    a raw uint32 (2,) PRNG key driving the randomized point budget."""
-    import jax
-    import jax.numpy as jnp
-
-    from smirk_tpu import masking as M
-
-    c = system.config
-    S = c.image_size
-    mask_ratio = float(c.train.mask_ratio)
-    mask_ratio_mul = float(c.train.mask_ratio_mul)
-    dilation = int(c.train.mask_dilation_radius)
-    n_upper = int(mask_ratio * mask_ratio_mul * S * S)
-    base = _reconstruct_base(system, encoder_vars)
+    synthesis reconstruction (reference demo.py:133-182 generator branch).
+    The budget/mask math is SmirkSystem.reconstruct — the same code the
+    Predictor API and cli/demo.py run, so artifacts cannot de-synchronize
+    from the in-process paths. `hull` is the convex-hull background mask
+    (B,H,W,1), 1 = background (computed host-side from landmarks,
+    data/transforms.convex_hull_mask); `key` is a raw uint32 (2,) PRNG
+    key driving the randomized point budget."""
 
     def forward(img, hull, key):
-        out = base(img)
-        B = img.shape[0]
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        npoints, _ = M.sample_mesh_points(
-            k1, out["transformed_vertices"], system.flame.faces,
-            system.face_probabilities, n_upper, S)
-        rsing = jax.random.randint(k2, (B,), 0, 2) * 2 - 1
-        rscale = jax.random.uniform(k3, (B,)) * (mask_ratio_mul - 1) + 1
-        rbound = (n_upper / mask_ratio_mul
-                  * (rscale ** rsing)).astype(jnp.int32)
-        extra = M.transfer_pixels(img, npoints, npoints, valid_count=rbound)
-        masked = M.compose_mask(
-            k4, img, hull, extra, dilation_radius=dilation,
-            rendered_mask=out["rendered_mask"],
-            extra_noise=True, random_mask=0.01)
-        recon = system.generator.apply(
-            generator_vars,
-            jnp.concatenate([out["rendered_img"], masked], -1),
-            train=False)
+        out = system.infer(encoder_vars, img)
+        masked, recon = system.reconstruct(
+            generator_vars, out, img, hull, key)
         keep = {k: out[k] for k in OUTPUT_KEYS if k in out}
         return {**keep, "masked_img": masked, "reconstructed_img": recon}
-
-    return forward
-
-
-def _reconstruct_base(system, encoder_vars):
-    """make_inference_fn variant keeping transformed_vertices (needed by
-    the mesh point sampler but not part of the serving OUTPUT_KEYS)."""
-
-    def forward(img):
-        enc_out = system.encoder.apply(encoder_vars, img, train=False)
-        flame_out = system.flame(enc_out)
-        rend = system.renderer(
-            flame_out["vertices"], enc_out["cam"],
-            {"landmarks_fan": flame_out["landmarks_fan"],
-             "landmarks_mp": flame_out["landmarks_mp"]},
-            inference=True,
-        )
-        return {**enc_out, **flame_out, **rend}
 
     return forward
 
@@ -318,7 +274,9 @@ class InferenceServer:
                     hpart = np.concatenate(
                         [hpart, np.ones((pad,) + hpart.shape[1:],
                                         np.float32)])
-                s = int(seed) + ci
+                # mask to 64 bits first (PRNGKey semantics): negative or
+                # oversized seeds would overflow the uint32 construction
+                s = (int(seed) + ci) & 0xFFFFFFFFFFFFFFFF
                 key = np.asarray([s >> 32, s & 0xFFFFFFFF], np.uint32)
                 out = self.call(part, hpart, key)
             else:
@@ -419,13 +377,15 @@ def load_inference(path: str) -> Callable[[np.ndarray], Dict[str, np.ndarray]]:
     repl = NamedSharding(mesh, P())
 
     def call(img, *rest):
-        # batch-leading arrays shard over the mesh; small operands (PRNG
-        # keys) replicate
+        # image-like operands (rank 4, batch-leading: img, hull) shard
+        # over the mesh; small operands (PRNG keys) replicate. Rank, not
+        # shape[0], decides: a (2,) key would collide with batch_size=2.
         batch = np.asarray(img).shape[0]
         placed = [
             jax.device_put(
                 a, shard
-                if getattr(np.asarray(a), "shape", ())[:1] == (batch,)
+                if (np.asarray(a).ndim == 4
+                    and np.asarray(a).shape[0] == batch)
                 else repl)
             for a in rest
         ]

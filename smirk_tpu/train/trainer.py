@@ -795,6 +795,42 @@ class SmirkSystem:
         )
         return {**enc_out, **flame_out, **rend}
 
+    def reconstruct(self, generator_vars, infer_out, img, hull, key):
+        """Analysis-by-neural-synthesis reconstruction from infer() outputs
+        (reference demo.py:133-182 generator branch): mesh-anchored pixel
+        hints with the demo's randomized per-image budget
+        (rsing/rscale/rbound), hull-masked input, fuse generator on
+        [render | masked]. hull (B,H,W,1): 1 = background (reference
+        create_mask polarity). Returns (masked_img, reconstructed_img).
+
+        The SINGLE source for this math — cli/demo.py, api.Predictor
+        .reconstruct, and serving.export_reconstruct all call it, so the
+        budget formula / mask constants cannot de-synchronize."""
+        c = self.config
+        S = c.image_size
+        mul = float(c.train.mask_ratio_mul)
+        dilation = int(c.train.mask_dilation_radius)
+        n_upper = int(float(c.train.mask_ratio) * mul * S * S)
+        B = img.shape[0]
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        npoints, _ = masking_lib.sample_mesh_points(
+            k1, infer_out["transformed_vertices"], self.flame.faces,
+            self.face_probabilities, n_upper, S)
+        rsing = jax.random.randint(k2, (B,), 0, 2) * 2 - 1
+        rscale = jax.random.uniform(k3, (B,)) * (mul - 1) + 1
+        rbound = (n_upper / mul * (rscale ** rsing)).astype(jnp.int32)
+        extra = masking_lib.transfer_pixels(
+            img, npoints, npoints, valid_count=rbound)
+        masked = masking_lib.compose_mask(
+            k4, img, hull, extra, dilation_radius=dilation,
+            rendered_mask=infer_out["rendered_mask"],
+            extra_noise=True, random_mask=0.01)
+        recon = self.generator.apply(
+            generator_vars,
+            jnp.concatenate([infer_out["rendered_img"], masked], -1),
+            train=False)
+        return masked, recon
+
     # ---------------------------- visualization ----------------------------
 
     @functools.partial(jax.jit, static_argnums=0)

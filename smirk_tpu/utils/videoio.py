@@ -213,7 +213,10 @@ def have_cv2() -> bool:
     try:
         import cv2  # noqa: F401
 
-        cv2.VideoCapture  # guard against stubbed modules
+        # guard against stubbed modules: demo_video needs BOTH ends
+        # (decode via VideoCapture, mux via VideoWriter)
+        cv2.VideoCapture
+        cv2.VideoWriter
         return True
     except Exception:  # pragma: no cover - import environment dependent
         return False

@@ -76,6 +76,28 @@ def test_predict_batch_resize(predictor):
         assert np.isfinite(out[k]).all(), k
 
 
+def test_dark_uint8_batch_normalized_by_dtype(predictor):
+    """uint8 input must divide by 255 even when every pixel is dark (a
+    value heuristic would misread max<=2 as already-[0,1] data)."""
+    dark = np.full((1, 224, 224, 3), 2, np.uint8)
+    out_u8 = predictor(dark)
+    out_f = predictor(dark.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(out_u8["expression_params"],
+                               out_f["expression_params"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_batched_images_single_landmarks_broadcast(predictor):
+    imgs = (np.random.default_rng(6).random((2, 160, 140, 3)) * 255
+            ).astype(np.uint8)
+    kpt = np.random.default_rng(7).uniform(40, 100, (478, 2)).astype(
+        np.float32)
+    out = predictor(imgs, landmarks=kpt)  # one landmark set, both images
+    assert out["rendered_img"].shape[0] == 2
+    with pytest.raises(ValueError, match="landmarks batch"):
+        predictor(imgs, landmarks=np.stack([kpt] * 3))
+
+
 def test_predict_single_image_with_landmark_crop(predictor):
     img = (np.random.default_rng(1).random((160, 140, 3)) * 255
            ).astype(np.uint8)

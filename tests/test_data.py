@@ -94,6 +94,9 @@ def test_augment_distribution_sanity():
     assert means.std() > 0.01
     # ShiftScaleRotate fires with p=0.9 -> keypoints moved in ~90% of draws
     assert 0.8 < n_changed / N < 1.0, n_changed / N
+
+
+def test_prepare_sample_shapes():
     rng = np.random.default_rng(0)
     img = (rng.random((300, 280, 3)) * 255).astype(np.uint8)
     fan = rng.random((68, 2)) * 150 + 60

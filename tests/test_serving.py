@@ -196,6 +196,9 @@ def test_http_serving_reconstruct(tiny_system, tmp_path):
         assert np.isfinite(out["reconstructed_img"]).all()
         # deterministic per seed; fresh point budgets under another
         np.testing.assert_allclose(out["masked_img"], post(0)["masked_img"])
+        # negative seeds are legal (masked to 64-bit PRNGKey semantics)
+        neg = post(-1)
+        assert np.isfinite(neg["reconstructed_img"]).all()
 
         # missing hull -> clear 400
         buf = io.BytesIO()
