@@ -6,7 +6,9 @@
 Writes per-image side-by-side [input | render] panels and one params.npz
 with the stacked FLAME codes. Runs out of the box without a checkpoint
 (random weights + synthetic FLAME fallback) — outputs are then only
-layout demos, not reconstructions.
+layout demos, not reconstructions. See examples/expression_edit.py for
+the encode/edit/re-render split and examples/reconstruct.py for the
+full generator (analysis-by-neural-synthesis) path.
 """
 import argparse
 import os
