@@ -219,14 +219,31 @@ def _pad_bins(bins, counts, capacity, k, T):
     return bins, counts
 
 
+def selection_misses(pre: jnp.ndarray, counts: jnp.ndarray, k: int):
+    """Count overlapping faces the selector FAILED to return.
+
+    pre = pre-selection overlap count per tile (a cheap reduction over the
+    already-materialized bbox mask), counts = post-selection valid count,
+    k = selection width. Exact top_k fills min(pre, k) slots by
+    construction, so misses are identically 0; approx_max_k (bin_approx)
+    has a recall target < 1 and may drop an overlapping face even when the
+    tile is under capacity — the one failure mode the compact-raster
+    overflow surface cannot see, because its counts are computed AFTER
+    selection (ROADMAP round-4 hardening). -> (B,) int32 total missed
+    (face, tile) incidences per image."""
+    per_tile = jnp.maximum(jnp.minimum(pre, k) - counts, 0)
+    return per_tile.reshape(per_tile.shape[0], -1).sum(-1).astype(jnp.int32)
+
+
 def bin_faces_flat(
     face_verts: jnp.ndarray, image_size: int, capacity: int,
     approx: Optional[float] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_misses: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Assign triangles to pixel tiles by bounding box.
     -> (bins (B, Tp, C) int32, counts (B, Tp) int32) with bins
     -1 padded, where T = (H/TILE_ROWS)*(Wpad/TILE_COLS) and Tp rounds T up to
-    a multiple of 8.
+    a multiple of 8. with_misses appends selection_misses (B,) int32.
 
     Conservative (bbox) test; extra faces only cost kernel iterations.
     One top_k over all F faces per tile.
@@ -281,7 +298,11 @@ def bin_faces_flat(
     valid = vals > 0
     bins = jnp.where(valid, idx, -1).astype(jnp.int32)
     counts = valid.sum(-1).astype(jnp.int32)  # (B,T)
-    return _pad_bins(bins, counts, capacity, k, T)
+    padded = _pad_bins(bins, counts, capacity, k, T)
+    if with_misses:
+        pre = overlap.sum(-1).astype(jnp.int32)  # (B,T)
+        return (*padded, selection_misses(pre, counts, k))
+    return padded
 
 
 # Hierarchical binning knobs: BAND_TILES row-tiles per coarse band (32 px),
@@ -299,7 +320,8 @@ def bin_faces_hier(
     band_tiles: int = BAND_TILES,
     coarse_capacity: int = COARSE_CAPACITY,
     approx: Optional[float] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_misses: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Two-level binning with the same output contract as bin_faces_flat.
 
     Level 1 compacts faces into horizontal bands of `band_tiles` row-tiles
@@ -396,8 +418,22 @@ def bin_faces_hier(
     counts = valid_f.sum(-1).astype(jnp.int32)  # (B,nb,band_tiles,tx)
     # (B, nb*band_tiles, tx, ...) -> crop padded bands -> (B, T, ...)
     bins = bins.reshape(B, nb * band_tiles, tx, k)[:, :ty].reshape(B, T, k)
+    counts_full = counts
     counts = counts.reshape(B, nb * band_tiles, tx)[:, :ty].reshape(B, T)
-    return _pad_bins(bins, counts, capacity, k, T)
+    padded = _pad_bins(bins, counts, capacity, k, T)
+    if with_misses:
+        # both selection stages can miss under approx: a coarse miss drops
+        # the face from every tile in the band, a fine miss from one tile.
+        # Fine counts are compared on the band-cropped tiles only (padded
+        # band rows never reach the kernel).
+        pre_c = ov_band.sum(-1).astype(jnp.int32)  # (B,nb)
+        miss_c = selection_misses(pre_c, valid_c.sum(-1).astype(jnp.int32), C1)
+        pre_f = ov.sum(-1).astype(jnp.int32)  # (B,nb,band_tiles,tx)
+        per_f = jnp.maximum(jnp.minimum(pre_f, k) - counts_full, 0)
+        per_f = per_f.reshape(B, nb * band_tiles, tx)[:, :ty]
+        miss_f = per_f.reshape(B, -1).sum(-1).astype(jnp.int32)
+        return (*padded, miss_c + miss_f)
+    return padded
 
 
 # Module-level default. MEASURED NEGATIVE twice (v5e-1, B=64 F=3408
@@ -423,15 +459,17 @@ def set_bin_mode(hier: bool, approx: Optional[float] = None) -> None:
 def bin_faces(
     face_verts: jnp.ndarray, image_size: int, capacity: int,
     approx: Optional[float] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_misses: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     F = face_verts.shape[1]
     ty = -(-image_size // TILE_ROWS)
     # hierarchy only pays off when the coarse list is a real reduction and
     # there is more than one band of tiles
     if _BIN_HIER and F > 2 * COARSE_CAPACITY and ty > BAND_TILES:
         return bin_faces_hier(face_verts, image_size, capacity,
-                              approx=approx)
-    return bin_faces_flat(face_verts, image_size, capacity, approx)
+                              approx=approx, with_misses=with_misses)
+    return bin_faces_flat(face_verts, image_size, capacity, approx,
+                          with_misses)
 
 
 def _raster_kernel(counts_ref, bins_ref, fv_ref, face_out, z_out, *, H, W, TX):
@@ -625,6 +663,7 @@ def rasterize(
     use_pallas: Optional[bool] = None,
     compact: Optional[int] = None,
     bin_approx: Optional[float] = None,
+    bin_miss_check: bool = False,
 ):
     """Full differentiable raster: coverage (stop-grad) + interpolation.
 
@@ -635,7 +674,10 @@ def rasterize(
     moments to faces with a tiled one-hot matmul. `compact` (chunk budget)
     switches the forward to the compact-list kernel (see _raster_kernel_v7)
     — same outputs/gradients whenever the occupied chunks fit the budget;
-    overflow counts the chunks that did NOT fit (zeros otherwise)."""
+    overflow counts the chunks that did NOT fit (zeros otherwise).
+    bin_miss_check additionally folds approx-binning selection misses
+    into overflow (planes path only — the fallback paths bin exactly or
+    not at all)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     B = face_verts.shape[0]
@@ -644,7 +686,7 @@ def rasterize(
         interpret = default_interpret()
         return rasterize_planes_diff(
             face_verts, attributes, image_size, capacity, interpret, compact,
-            bin_approx,
+            bin_approx, bin_miss_check,
         )
     if use_pallas:
         interpret = default_interpret()
@@ -1416,7 +1458,7 @@ def _raster_kernel_v6(counts_ref, recs_ref, face_out, z_out,
     jax.jit,
     static_argnames=(
         "image_size", "capacity", "interpret", "merged", "tps", "sort_tiles",
-        "compact", "bin_approx", "return_overflow",
+        "compact", "bin_approx", "return_overflow", "bin_miss_check",
     ),
 )
 def rasterize_normals_fused(
@@ -1431,6 +1473,7 @@ def rasterize_normals_fused(
     compact: Optional[int] = None,
     bin_approx: Optional[float] = None,
     return_overflow: bool = False,
+    bin_miss_check: bool = False,
 ):
     """Fused inference raster: -> (normal image (B,H,W,3), pix_to_face,
     zbuf). Non-differentiable (inference/visualization path; training uses
@@ -1439,7 +1482,8 @@ def rasterize_normals_fused(
     has its own default — see renderer.diff_bin_approx and the empirical
     zero-miss caveat there). return_overflow appends a (B,)
     int32 count of compact chunks dropped past the budget (zeros on the
-    padded path) — see _compact_plan."""
+    padded path) — see _compact_plan; bin_miss_check folds approx-binning
+    selection misses into that count (see selection_misses)."""
     assert capacity % V3_CHUNK == 0
     if sort_tiles and compact is not None:
         raise ValueError(
@@ -1456,7 +1500,12 @@ def rasterize_normals_fused(
     Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
     T = ty * tx
 
-    bins, counts = bin_faces(face_verts, image_size, capacity, bin_approx)
+    misses = None
+    if bin_miss_check:
+        bins, counts, misses = bin_faces(
+            face_verts, image_size, capacity, bin_approx, with_misses=True)
+    else:
+        bins, counts = bin_faces(face_verts, image_size, capacity, bin_approx)
     if tps is None:
         tps = _pick_tps(bins.shape[1], capacity)
     bins, counts = _pad_tiles_to(bins, counts, tps)
@@ -1560,6 +1609,8 @@ def rasterize_normals_fused(
     zbuf = to_image(outs[1])
     normals = jnp.stack([to_image(o) for o in outs[2:5]], axis=-1)
     if return_overflow:
+        if misses is not None:
+            overflow = overflow + misses
         return normals, p2f, zbuf, overflow
     return normals, p2f, zbuf
 
@@ -2074,7 +2125,7 @@ def _raster_kernel_v5c(starts_ref, ends_ref, recs_ref, face_out, z_out,
 
 
 def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
-             compact=None, bin_approx=None):
+             compact=None, bin_approx=None, bin_miss_check=False):
     """-> (vals (B,H,W,D), pix_to_face, zbuf, pix_to_slot, bins, overflow).
 
     overflow (B,) int32: compact chunks dropped past the budget (zeros on
@@ -2085,7 +2136,10 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
     overflows its capacity, every overlapping face has a positive key and
     the approximate selector returns the complete membership, so values
     AND gradients are bit-identical; a miss under overflow behaves like
-    the capacity overflow it accompanies."""
+    the capacity overflow it accompanies. bin_miss_check adds
+    selection_misses (pre- vs post-selection counts) into the returned
+    overflow, making approx-binning misses visible on the same surface
+    the trainer already logs."""
     assert capacity % V3_CHUNK == 0
     B, F = face_verts.shape[:2]
     D = attributes.shape[-1]
@@ -2096,7 +2150,12 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
     Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
     T = ty * tx
 
-    bins, counts = bin_faces(face_verts, image_size, capacity, bin_approx)
+    misses = None
+    if bin_miss_check:
+        bins, counts, misses = bin_faces(
+            face_verts, image_size, capacity, bin_approx, with_misses=True)
+    else:
+        bins, counts = bin_faces(face_verts, image_size, capacity, bin_approx)
     tps = _pick_tps(bins.shape[1], capacity)
     bins, counts = _pad_tiles_to(bins, counts, tps)
     Tp = bins.shape[1]
@@ -2172,6 +2231,9 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
             interpret=interpret,
         )(counts.reshape(B * Tp, 1), recs)
 
+    if misses is not None:
+        overflow = overflow + misses
+
     def to_image(x):
         x = x[:, :T].reshape(B, ty, tx, TILE_ROWS, TILE_COLS)
         return x.transpose(0, 1, 3, 2, 4).reshape(B, Hp, Wp)[:, :H, :W]
@@ -2190,11 +2252,11 @@ def _v5_impl(face_verts, attributes, image_size, capacity, interpret,
     return vals, p2f, zbuf, p2slot_tiles, bins[:, :Tp8], overflow
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def rasterize_planes_diff(
     face_verts, attributes, image_size: int, capacity: int,
     interpret: bool = False, compact: Optional[int] = None,
-    bin_approx: Optional[float] = None,
+    bin_approx: Optional[float] = None, bin_miss_check: bool = False,
 ):
     """Fused differentiable raster:
     (vals (B,H,W,D), mask, pix_to_face, overflow).
@@ -2205,26 +2267,29 @@ def rasterize_planes_diff(
     per-pixel gathers in either direction. overflow (B,) int32 counts
     compact chunks dropped past the budget (zeros when compact is None) —
     when > 0, trailing tiles rendered EMPTY and carry no gradients, so
-    training callers must log/monitor it (see _compact_plan)."""
+    training callers must log/monitor it (see _compact_plan).
+    bin_miss_check folds approx-binning selection misses into overflow
+    (see _v5_impl); default off to keep the shipped trace unchanged."""
     vals, p2f, _, _, _, overflow = _v5_impl(
         jax.lax.stop_gradient(face_verts), jax.lax.stop_gradient(attributes),
-        image_size, capacity, interpret, compact, bin_approx,
+        image_size, capacity, interpret, compact, bin_approx, bin_miss_check,
     )
     mask = (p2f >= 0)[..., None].astype(vals.dtype)
     return vals, mask, p2f, overflow
 
 
 def _rpd_fwd(face_verts, attributes, image_size, capacity, interpret,
-             compact, bin_approx):
+             compact, bin_approx, bin_miss_check):
     vals, p2f, _, p2slot, bins, overflow = _v5_impl(
         jax.lax.stop_gradient(face_verts), jax.lax.stop_gradient(attributes),
-        image_size, capacity, interpret, compact, bin_approx,
+        image_size, capacity, interpret, compact, bin_approx, bin_miss_check,
     )
     mask = (p2f >= 0)[..., None].astype(vals.dtype)
     return (vals, mask, p2f, overflow), (face_verts, attributes, p2slot, bins)
 
 
-def _rpd_bwd(image_size, capacity, interpret, compact, bin_approx, res, cts):
+def _rpd_bwd(image_size, capacity, interpret, compact, bin_approx,
+             bin_miss_check, res, cts):
     g_vals = cts[0]  # mask/p2f cotangents carry no gradient information
     face_verts, attributes, p2slot, bins = res
     B, H, W, D = g_vals.shape

@@ -36,6 +36,7 @@ class Renderer:
         raster_compact: Optional[int] = None,
         bin_approx: Optional[float] = 0.95,
         diff_bin_approx: Optional[float] = 0.95,
+        bin_miss_check: Optional[bool] = None,
     ):
         self.image_size = image_size
         self.use_pallas = use_pallas
@@ -48,11 +49,18 @@ class Renderer:
         # at this mesh/capacity, not an approx_max_k API guarantee, and a
         # miss would NOT show in raster_overflow (counts are computed after
         # selection) — on unusual meshes/scales set SMIRK_DIFF_BIN_EXACT=1
-        # (or diff_bin_approx=None) to restore exact top_k. A pre- vs
-        # post-selection count check is the round-4 hardening (ROADMAP).
+        # (or diff_bin_approx=None) to restore exact top_k, or
+        # SMIRK_BIN_MISS_CHECK=1 (bin_miss_check=True) to fold selection
+        # misses into the raster_overflow surface (pre- vs post-selection
+        # counts, rasterizer.selection_misses). The check is default-OFF
+        # this round to keep the measured traced programs unchanged; the
+        # round-4 hardening flips it on after re-measuring its cost.
         self.diff_bin_approx = diff_bin_approx
         if os.environ.get("SMIRK_DIFF_BIN_EXACT"):
             self.diff_bin_approx = None
+        if bin_miss_check is None:
+            bin_miss_check = bool(os.environ.get("SMIRK_BIN_MISS_CHECK"))
+        self.bin_miss_check = bin_miss_check
 
         faces = np.asarray(bundle["faces"], np.int64)
         if render_full_head:
@@ -172,7 +180,8 @@ class Renderer:
         out["rendered_img"] = rendered
         out["rendered_mask"] = mask
         out["pix_to_face"] = pix_to_face
-        # (B,) int32 count of compact-raster chunks dropped past the budget.
+        # (B,) int32 count of compact-raster chunks dropped past the budget
+        # (+ approx-binning selection misses when bin_miss_check is on).
         # 0 = bit-exact render; > 0 = trailing tiles rendered EMPTY (and,
         # on the training path, carry zero gradients). Training logs the
         # batch max as `raster_overflow`; watch it on atypical face scales.
@@ -209,6 +218,7 @@ class Renderer:
             use_pallas=self.use_pallas,
             compact=self.raster_compact or None,
             bin_approx=self.diff_bin_approx,
+            bin_miss_check=self.bin_miss_check,
         )
         shade = shading.directional_shading(pixel_vals)
         return shading.GRAY_ALBEDO * shade * mask, mask, pix_to_face, overflow
@@ -245,6 +255,7 @@ class Renderer:
             # round 3 (diff_bin_approx above; SMIRK_DIFF_BIN_EXACT
             # restores exact top_k).
             bin_approx=self.bin_approx,
+            bin_miss_check=self.bin_miss_check,
         )
         mask = (pix_to_face >= 0)[..., None].astype(normal_img.dtype)
         shade = shading.directional_shading(normal_img)

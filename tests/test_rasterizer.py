@@ -757,3 +757,153 @@ def test_bin_mode_approx_applies_to_hier_branch():
         assert int(jnp.max(flat_c)) <= 64 and int(jnp.max(hier_c)) <= 64
     finally:
         R.set_bin_mode(False, None)
+
+
+# ---------------------------------------------------------------------------
+# Approx-binning miss check (ROADMAP round-4 hardening, landed default-off):
+# pre- vs post-selection counts fold into the raster_overflow surface.
+# ---------------------------------------------------------------------------
+
+
+def test_selection_misses_math():
+    """min(pre, k) - counts: capacity overflow (pre > k, full selection)
+    is NOT a miss; a selector returning fewer valid faces than available
+    slots is."""
+    pre = jnp.asarray([[5, 2, 0, 9], [0, 0, 0, 0]], jnp.int32)
+    counts = jnp.asarray([[3, 2, 0, 8], [0, 0, 0, 0]], jnp.int32)
+    misses = R.selection_misses(pre, counts, k=8)
+    assert misses.tolist() == [2, 0]
+
+
+def test_bin_faces_with_misses_zero_when_exact():
+    """with_misses reports zero for exact top_k (by construction) and for
+    approx on CPU (lowers to exact), without perturbing bins/counts —
+    including under capacity overflow, which is a different surface."""
+    rng = np.random.default_rng(23)
+    fv = random_mesh(rng, F=120, B=2)
+    for approx in (None, 0.95):
+        b2, c2 = R.bin_faces_flat(fv, 32, 64, approx=approx)
+        b3, c3, miss = R.bin_faces_flat(fv, 32, 64, approx=approx,
+                                        with_misses=True)
+        np.testing.assert_array_equal(np.asarray(b2), np.asarray(b3))
+        np.testing.assert_array_equal(np.asarray(c2), np.asarray(c3))
+        assert miss.tolist() == [0, 0]
+    _, c_over, miss = R.bin_faces_flat(fv, 32, 8, with_misses=True)
+    assert int(np.asarray(c_over).max()) == 8, "fixture must overflow cap"
+    assert miss.tolist() == [0, 0]
+    # hier branch carries the same contract (coarse + fine stages)
+    fvh = jnp.asarray(rng.normal(0, 0.4, (1, 700, 3, 3)).astype(np.float32))
+    bh, ch = R.bin_faces_hier(fvh, 64, 64, coarse_capacity=256)
+    bh2, ch2, missh = R.bin_faces_hier(fvh, 64, 64, coarse_capacity=256,
+                                       with_misses=True)
+    np.testing.assert_array_equal(np.asarray(bh), np.asarray(bh2))
+    np.testing.assert_array_equal(np.asarray(ch), np.asarray(ch2))
+    assert missh.tolist() == [0]
+
+
+def test_injected_bin_miss_surfaces_in_overflow(monkeypatch):
+    """A lossy selector (top candidate of every tile dropped) is invisible
+    to the post-selection overflow counts but MUST show on the miss check:
+    check-off overflow stays 0 (the documented blind spot), check-on
+    overflow counts exactly one miss per non-empty tile."""
+    rng = np.random.default_rng(29)
+    fv = random_mesh(rng, F=60, B=2)
+    attr = jnp.asarray(rng.normal(0, 1, (2, 60, 3, 3)).astype(np.float32))
+    size, cap = 32, 64
+    _, counts_exact, miss0 = R.bin_faces_flat(fv, size, cap,
+                                              with_misses=True)
+    assert miss0.tolist() == [0, 0]
+    expected = (np.asarray(counts_exact) > 0).sum(axis=1)
+    assert (expected > 0).all(), "fixture regression: empty scene"
+
+    real_top_k = jax.lax.top_k
+
+    def lossy_approx_max_k(keyf, k, recall_target=None, **kw):
+        vals, idx = real_top_k(keyf, k)
+        return vals.at[..., 0].set(-1.0), idx  # best face "missed"
+
+    monkeypatch.setattr(jax.lax, "approx_max_k", lossy_approx_max_k)
+    _, _, miss = R.bin_faces_flat(fv, size, cap, approx=0.9,
+                                  with_misses=True)
+    np.testing.assert_array_equal(np.asarray(miss), expected)
+    # end to end through the differentiable raster's overflow output
+    big_budget = 2 * int(
+        np.asarray(-(-counts_exact // R.V3_CHUNK)).sum(axis=1).max())
+    blind = R.rasterize_planes_diff(fv, attr, size, cap, True, big_budget,
+                                    0.9, False)
+    assert np.asarray(blind[3]).tolist() == [0, 0]
+    seen = R.rasterize_planes_diff(fv, attr, size, cap, True, big_budget,
+                                   0.9, True)
+    np.testing.assert_array_equal(np.asarray(seen[3]), expected)
+
+
+def test_bin_miss_check_preserves_outputs_and_grads():
+    """bin_miss_check=True is a pure observability add: values, masks,
+    pix_to_face and gradients are bit-identical to check-off, and the
+    fused inference raster accepts the flag too."""
+    rng = np.random.default_rng(31)
+    fv = random_mesh(rng, F=50, B=2)
+    attr = jnp.asarray(rng.normal(0, 1, (2, 50, 3, 3)).astype(np.float32))
+    size, cap = 32, 64
+    ref = R.rasterize_planes_diff(fv, attr, size, cap, True, 32, 0.95, False)
+    out = R.rasterize_planes_diff(fv, attr, size, cap, True, 32, 0.95, True)
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(f, a, check):
+        v, m, _, _ = R.rasterize_planes_diff(f, a, size, cap, True, 32,
+                                             0.95, check)
+        return jnp.sum(jnp.sin(v) * v)
+
+    g1 = jax.grad(loss, argnums=(0, 1))(fv, attr, False)
+    g2 = jax.grad(loss, argnums=(0, 1))(fv, attr, True)
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    fn = jnp.asarray(rng.normal(0, 1, (2, 50, 3, 3)).astype(np.float32))
+    img0, p2f0, zb0, ov0 = R.rasterize_normals_fused(
+        fv, fn, size, capacity=cap, interpret=True, compact=32,
+        bin_approx=0.95, return_overflow=True)
+    img1, p2f1, zb1, ov1 = R.rasterize_normals_fused(
+        fv, fn, size, capacity=cap, interpret=True, compact=32,
+        bin_approx=0.95, return_overflow=True, bin_miss_check=True)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    np.testing.assert_array_equal(np.asarray(p2f0), np.asarray(p2f1))
+    np.testing.assert_array_equal(np.asarray(ov0), np.asarray(ov1))
+
+
+def test_renderer_bin_miss_check_flag(monkeypatch):
+    """SMIRK_BIN_MISS_CHECK=1 arms the check on both renderer paths without
+    changing the rendered output; raster_overflow stays zero on this
+    backend (exact selection)."""
+    from smirk_tpu import assets
+    from smirk_tpu.flame import FlameModel
+    from smirk_tpu.render.renderer import Renderer
+
+    bundle = assets.load_all()
+    flame = FlameModel(bundle)
+    B = 1
+    params = {
+        "shape_params": jnp.zeros((B, 300)),
+        "expression_params": jnp.zeros((B, 50)),
+        "pose_params": jnp.zeros((B, 3)),
+        "jaw_params": jnp.zeros((B, 3)),
+        "eyelid_params": jnp.zeros((B, 2)),
+    }
+    out = flame(params)
+    base = Renderer(bundle, image_size=64, use_pallas=True,
+                    bin_capacity=3456)
+    assert not base.bin_miss_check
+    monkeypatch.setenv("SMIRK_BIN_MISS_CHECK", "1")
+    armed = Renderer(bundle, image_size=64, use_pallas=True,
+                     bin_capacity=3456)
+    assert armed.bin_miss_check
+    face_v = np.asarray(out["vertices"])[:, base.kept_vertices]
+    c = face_v.mean(axis=(0, 1))
+    cam = jnp.asarray([[7.0, -c[0], -c[1]]])
+    for inference in (False, True):
+        a = base(out["vertices"], cam, inference=inference)
+        b = armed(out["vertices"], cam, inference=inference)
+        assert np.asarray(b["raster_overflow"]).tolist() == [0]
+        np.testing.assert_array_equal(
+            np.asarray(a["rendered_img"]), np.asarray(b["rendered_img"]))
