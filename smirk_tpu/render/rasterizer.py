@@ -230,7 +230,13 @@ def selection_misses(pre: jnp.ndarray, counts: jnp.ndarray, k: int):
     tile is under capacity — the one failure mode the compact-raster
     overflow surface cannot see, because its counts are computed AFTER
     selection (ROADMAP round-4 hardening). -> (B,) int32 total missed
-    (face, tile) incidences per image."""
+    (face, tile) incidences per image. Unit caveat: bin_faces_hier's
+    COARSE stage calls this with per-band counts, so a coarse miss is
+    counted once per band even though it hides the face from every
+    overlapped tile in that band — hier miss counts are a lower bound
+    and not unit-comparable with the flat path's (the hier path is a
+    measured-negative experiment kept for reference; any nonzero count
+    still flags the run)."""
     per_tile = jnp.maximum(jnp.minimum(pre, k) - counts, 0)
     return per_tile.reshape(per_tile.shape[0], -1).sum(-1).astype(jnp.int32)
 
@@ -436,6 +442,111 @@ def bin_faces_hier(
     return padded
 
 
+def bin_faces_sorted(
+    face_verts: jnp.ndarray, image_size: int, capacity: int,
+    max_row_span: int = 8, max_col_span: int = 4,
+    with_misses: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Sort-based EXACT binning: same output contract (and bit-identical
+    bins/counts) as bin_faces_flat with approx=None, but built at
+    (face, tile) INCIDENCE granularity instead of a top_k over all F
+    faces for every tile.
+
+    Motivation (ROADMAP/VERDICT r3 item 4): the per-tile selection is
+    ~40% of the inference raster. flat top_k/approx_max_k does
+    O(T * F) selection work (~12M keys at 224px/F=3408) although the
+    actual face->tile incidence count is ~4.5k per image. Here each face
+    expands to at most NI = min(row_span, max_row_span) x
+    min(tx, max_col_span) incidence keys
+        key = tile_id * prio_span + prio        (unique, int32)
+    and ONE ascending per-image sort of the (B, F*NI) key array lays
+    every tile's faces out near-to-far back-to-back. Per-tile ranges are
+    a searchsorted over the T+1 tile boundaries; bins rows are a single
+    take_along_axis; the face id is recovered as key % F (prio =
+    zbucket*F + face_id, and tile*prio_span == 0 mod F). Selection is
+    EXACT: capacity overflow keeps each ascending run's first k =
+    nearest faces, identical to the top_k path's z-priority drop.
+
+    Faces whose bbox spans more than max_row_span tile-rows /
+    max_col_span tile-columns keep their FIRST rows/columns (top/left);
+    the dropped incidences are counted in the misses output (a spatial
+    truncation of a >64px-tall triangle at the default — never the case
+    for the FLAME face submesh at 224px, where bboxes are a few pixels).
+    Raise the spans (NI slots) if a mesh legitimately has huge faces.
+    """
+    B, F = face_verts.shape[:2]
+    H = W = image_size
+    ty = -(-H // TILE_ROWS)
+    tx = -(-W // TILE_COLS)
+    T = ty * tx
+    xmin, xmax, ymin, ymax, prio, prio_span, keep = _bbox_and_priority(
+        face_verts, image_size
+    )
+    assert T * prio_span < 2**31, "tile*prio_span keys overflow int32"
+
+    # inclusive tile spans, matching bin_faces_flat's overlap test exactly:
+    # tile r overlaps iff ymax >= r*8 and ymin <= r*8+7
+    rlo = jnp.ceil((ymin - (TILE_ROWS - 1)) / TILE_ROWS).astype(jnp.int32)
+    rhi = jnp.floor(ymax / TILE_ROWS).astype(jnp.int32)
+    clo = jnp.ceil((xmin - (TILE_COLS - 1)) / TILE_COLS).astype(jnp.int32)
+    chi = jnp.floor(xmax / TILE_COLS).astype(jnp.int32)
+    # clip lo to [0, ty] (ty = off-screen-below -> empty span: rhi < rlo),
+    # hi to ty-1; emptiness is encoded by hi < lo, NOT by clamping lo down
+    # (that would wrongly bin fully-off-screen faces into the last row)
+    rlo = jnp.clip(rlo, 0, ty)
+    rhi = jnp.minimum(rhi, ty - 1)
+    clo = jnp.clip(clo, 0, tx)
+    chi = jnp.minimum(chi, tx - 1)
+
+    NIR = max_row_span
+    NIC = min(tx, max_col_span)
+    NI = NIR * NIC
+    dr = jnp.arange(NIR, dtype=jnp.int32)
+    dc = jnp.arange(NIC, dtype=jnp.int32)
+    r = rlo[..., None] + dr  # (B,F,NIR)
+    c = clo[..., None] + dc  # (B,F,NIC)
+    ok_r = r <= rhi[..., None]
+    ok_c = c <= chi[..., None]
+    valid = ok_r[..., :, None] & ok_c[..., None, :]  # (B,F,NIR,NIC)
+    if keep is not None:
+        valid = valid & keep[..., None, None]
+    tile = r[..., :, None] * tx + c[..., None, :]
+    key = tile * prio_span + prio[..., None, None]
+    SENTINEL = jnp.iinfo(jnp.int32).max
+    key = jnp.where(valid, key, SENTINEL).reshape(B, F * NI)
+
+    skey = jnp.sort(key, axis=-1)  # ascending: (tile, near-to-far) runs
+
+    bounds = (jnp.arange(T + 1, dtype=jnp.int32) * prio_span)
+    starts = jax.vmap(lambda s: jnp.searchsorted(s, bounds))(skey)  # (B,T+1)
+    full = (starts[:, 1:] - starts[:, :-1]).astype(jnp.int32)  # (B,T)
+    k = min(capacity, F)
+    counts = jnp.minimum(full, k)
+
+    idx = starts[:, :-1, None] + jnp.arange(k, dtype=jnp.int32)  # (B,T,k)
+    got = jnp.take_along_axis(
+        skey, jnp.minimum(idx, F * NI - 1).reshape(B, T * k), axis=1
+    ).reshape(B, T, k)
+    in_run = jnp.arange(k, dtype=jnp.int32) < counts[..., None]
+    bins = jnp.where(in_run, got % F, -1).astype(jnp.int32)
+    padded = _pad_bins(bins, counts, capacity, k, T)
+    if with_misses:
+        # span clipping (rows/cols beyond NIR/NIC) is this path's only
+        # selection loss; capacity overflow is the shared, separately
+        # surfaced drop (same accounting as selection_misses)
+        lost_r = jnp.maximum(rhi - rlo + 1 - NIR, 0)
+        ncols = jnp.maximum(chi - clo + 1, 0)
+        lost_c = jnp.maximum(chi - clo + 1 - NIC, 0)
+        nrows_kept = jnp.clip(rhi - rlo + 1, 0, NIR)
+        lost = lost_r * ncols + lost_c * nrows_kept
+        if keep is not None:
+            lost = jnp.where(keep, lost, 0)
+        onscreen = (rhi >= rlo) & (chi >= clo)
+        lost = jnp.where(onscreen, lost, 0)
+        return (*padded, lost.sum(-1).astype(jnp.int32))
+    return padded
+
+
 # Module-level default. MEASURED NEGATIVE twice (v5e-1, B=64 F=3408
 # cap=384): exact hier 42.4ms vs flat 7.2ms standalone (coarse k=1024
 # top_k slow path, tools/tpu_bin_bench.py); approx_max_k hier 71.9ms vs
@@ -450,10 +561,18 @@ _BIN_HIER = False
 _BIN_APPROX: Optional[float] = None
 
 
-def set_bin_mode(hier: bool, approx: Optional[float] = None) -> None:
-    global _BIN_HIER, _BIN_APPROX
+# Sort-based incidence binning as the bin_faces dispatch (experiment
+# toggle, see bin_faces_sorted). Globals are baked at trace time: flip
+# before the first call of a process (or clear jit caches).
+_BIN_SORTED = False
+
+
+def set_bin_mode(hier: bool, approx: Optional[float] = None,
+                 sorted_: bool = False) -> None:
+    global _BIN_HIER, _BIN_APPROX, _BIN_SORTED
     _BIN_HIER = hier
     _BIN_APPROX = approx
+    _BIN_SORTED = sorted_
 
 
 def bin_faces(
@@ -463,6 +582,9 @@ def bin_faces(
 ) -> Tuple[jnp.ndarray, ...]:
     F = face_verts.shape[1]
     ty = -(-image_size // TILE_ROWS)
+    if _BIN_SORTED:
+        return bin_faces_sorted(face_verts, image_size, capacity,
+                                with_misses=with_misses)
     # hierarchy only pays off when the coarse list is a real reduction and
     # there is more than one band of tiles
     if _BIN_HIER and F > 2 * COARSE_CAPACITY and ty > BAND_TILES:
@@ -1483,8 +1605,15 @@ def rasterize_normals_fused(
     zero-miss caveat there). return_overflow appends a (B,)
     int32 count of compact chunks dropped past the budget (zeros on the
     padded path) — see _compact_plan; bin_miss_check folds approx-binning
-    selection misses into that count (see selection_misses)."""
+    selection misses into that count (see selection_misses) and therefore
+    requires return_overflow, its only output surface."""
     assert capacity % V3_CHUNK == 0
+    if bin_miss_check and not return_overflow:
+        raise ValueError(
+            "bin_miss_check computes selection misses that surface only "
+            "through the overflow output; pass return_overflow=True "
+            "(otherwise the check would be armed and silently discarded)"
+        )
     if sort_tiles and compact is not None:
         raise ValueError(
             "sort_tiles is incompatible with compact: the compact kernel "
@@ -2269,7 +2398,8 @@ def rasterize_planes_diff(
     when > 0, trailing tiles rendered EMPTY and carry no gradients, so
     training callers must log/monitor it (see _compact_plan).
     bin_miss_check folds approx-binning selection misses into overflow
-    (see _v5_impl); default off to keep the shipped trace unchanged."""
+    (see _v5_impl); the Renderer arms it by default whenever
+    diff_bin_approx is active (round-4 hardening)."""
     vals, p2f, _, _, _, overflow = _v5_impl(
         jax.lax.stop_gradient(face_verts), jax.lax.stop_gradient(attributes),
         image_size, capacity, interpret, compact, bin_approx, bin_miss_check,

@@ -46,21 +46,34 @@ class Renderer:
         # capacity approx returned the complete membership (measured zero
         # misses on this mesh; tools/tpu_bin_attack.py), making values and
         # gradients bit-identical. CAVEAT: zero-miss is an empirical result
-        # at this mesh/capacity, not an approx_max_k API guarantee, and a
-        # miss would NOT show in raster_overflow (counts are computed after
-        # selection) — on unusual meshes/scales set SMIRK_DIFF_BIN_EXACT=1
-        # (or diff_bin_approx=None) to restore exact top_k, or
-        # SMIRK_BIN_MISS_CHECK=1 (bin_miss_check=True) to fold selection
-        # misses into the raster_overflow surface (pre- vs post-selection
-        # counts, rasterizer.selection_misses). The check is default-OFF
-        # this round to keep the measured traced programs unchanged; the
-        # round-4 hardening flips it on after re-measuring its cost.
+        # at this mesh/capacity, not an approx_max_k API guarantee — on
+        # unusual meshes/scales set SMIRK_DIFF_BIN_EXACT=1 (or
+        # diff_bin_approx=None) to restore exact top_k.
         self.diff_bin_approx = diff_bin_approx
         if os.environ.get("SMIRK_DIFF_BIN_EXACT"):
             self.diff_bin_approx = None
+        # Round-4 hardening (VERDICT r3 item 1): whenever the TRAINING
+        # (differentiable) path uses approx binning, selection misses are
+        # folded into the raster_overflow surface BY DEFAULT (pre- vs
+        # post-selection counts, rasterizer.selection_misses), so a recall
+        # failure can no longer perturb values/gradients silently — it
+        # shows in the `raster_overflow` train metric the trainer already
+        # logs. The fused INFERENCE path stays opt-in: a miss there drops
+        # one (near-to-far prioritized, typically occluded) face from one
+        # tile — the same benign failure mode as capacity overflow, with
+        # no gradients at stake — and the check's pre-count reduction
+        # would tax the latency-critical path. Overrides: an explicit
+        # bin_miss_check= argument or env SMIRK_BIN_MISS_CHECK=1/0
+        # arms/disarms BOTH paths.
+        env = os.environ.get("SMIRK_BIN_MISS_CHECK")
+        if bin_miss_check is None and env is not None:
+            bin_miss_check = env not in ("", "0")
         if bin_miss_check is None:
-            bin_miss_check = bool(os.environ.get("SMIRK_BIN_MISS_CHECK"))
-        self.bin_miss_check = bin_miss_check
+            self.bin_miss_check_diff = self.diff_bin_approx is not None
+            self.bin_miss_check_fused = False
+        else:
+            self.bin_miss_check_diff = bool(bin_miss_check)
+            self.bin_miss_check_fused = bool(bin_miss_check)
 
         faces = np.asarray(bundle["faces"], np.int64)
         if render_full_head:
@@ -181,7 +194,8 @@ class Renderer:
         out["rendered_mask"] = mask
         out["pix_to_face"] = pix_to_face
         # (B,) int32 count of compact-raster chunks dropped past the budget
-        # (+ approx-binning selection misses when bin_miss_check is on).
+        # (+ approx-binning selection misses; armed by default on the
+        # differentiable path, see __init__).
         # 0 = bit-exact render; > 0 = trailing tiles rendered EMPTY (and,
         # on the training path, carry zero gradients). Training logs the
         # batch max as `raster_overflow`; watch it on atypical face scales.
@@ -218,7 +232,7 @@ class Renderer:
             use_pallas=self.use_pallas,
             compact=self.raster_compact or None,
             bin_approx=self.diff_bin_approx,
-            bin_miss_check=self.bin_miss_check,
+            bin_miss_check=self.bin_miss_check_diff,
         )
         shade = shading.directional_shading(pixel_vals)
         return shading.GRAY_ALBEDO * shade * mask, mask, pix_to_face, overflow
@@ -255,7 +269,7 @@ class Renderer:
             # round 3 (diff_bin_approx above; SMIRK_DIFF_BIN_EXACT
             # restores exact top_k).
             bin_approx=self.bin_approx,
-            bin_miss_check=self.bin_miss_check,
+            bin_miss_check=self.bin_miss_check_fused,
         )
         mask = (pix_to_face >= 0)[..., None].astype(normal_img.dtype)
         shade = shading.directional_shading(normal_img)

@@ -801,6 +801,46 @@ def test_bin_faces_with_misses_zero_when_exact():
     assert missh.tolist() == [0]
 
 
+def test_bin_faces_sorted_matches_flat_exact():
+    """Sort-based incidence binning (round-4 candidate for the top_k
+    selection) must be BIT-IDENTICAL to exact flat top_k binning — same
+    bins (including within-tile near-to-far order), same counts — and
+    report zero span-clip misses on meshes whose bboxes fit the default
+    spans. Includes capacity overflow: both paths drop the same farthest
+    faces."""
+    rng = np.random.default_rng(41)
+    for F, size, cap in ((120, 32, 64), (300, 64, 96), (120, 32, 32)):
+        fv = random_mesh(rng, F=F, B=2)
+        b1, c1 = R.bin_faces_flat(fv, size, cap, approx=None)
+        b2, c2, miss = R.bin_faces_sorted(fv, size, cap, with_misses=True)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2),
+                                      err_msg=f"F={F} size={size} cap={cap}")
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2),
+                                      err_msg=f"F={F} size={size} cap={cap}")
+        assert miss.tolist() == [0, 0]
+    # off-screen faces bin nowhere (the lo-clip must not fold them into
+    # the last tile row/column)
+    off = np.array(random_mesh(rng, F=8, B=1))
+    off[..., 1] += 4.0  # NDC y >> 1: below the screen
+    b3, c3, miss3 = R.bin_faces_sorted(jnp.asarray(off), 32, 16,
+                                       with_misses=True)
+    assert int(np.asarray(c3).sum()) == 0 and miss3.tolist() == [0]
+
+
+def test_bin_faces_sorted_span_clip_is_counted():
+    """A triangle taller than max_row_span tile-rows loses its far rows —
+    and the loss must be visible in the misses output."""
+    tris = [[[-0.1, -0.9, 5.0], [0.1, -0.9, 5.0], [0.0, 0.9, 5.0]]]
+    fv = make_face_verts(tris)
+    bfull, cfull = R.bin_faces_sorted(fv, 32, 16, max_row_span=8)
+    assert int(np.asarray(cfull).sum()) >= 3  # spans several tile rows
+    bclip, cclip, miss = R.bin_faces_sorted(fv, 32, 16, max_row_span=1,
+                                            with_misses=True)
+    assert int(np.asarray(cclip).sum()) < int(np.asarray(cfull).sum())
+    assert int(np.asarray(miss)[0]) == (
+        int(np.asarray(cfull).sum()) - int(np.asarray(cclip).sum()))
+
+
 def test_injected_bin_miss_surfaces_in_overflow(monkeypatch):
     """A lossy selector (top candidate of every tile dropped) is invisible
     to the post-selection overflow counts but MUST show on the miss check:
@@ -873,8 +913,10 @@ def test_bin_miss_check_preserves_outputs_and_grads():
 
 
 def test_renderer_bin_miss_check_flag(monkeypatch):
-    """SMIRK_BIN_MISS_CHECK=1 arms the check on both renderer paths without
-    changing the rendered output; raster_overflow stays zero on this
+    """Round-4 default: the differentiable (training) path arms the miss
+    check whenever approx binning is active; the fused inference path is
+    opt-in. SMIRK_BIN_MISS_CHECK=1/0 arms/disarms BOTH paths. Arming never
+    changes the rendered output; raster_overflow stays zero on this
     backend (exact selection)."""
     from smirk_tpu import assets
     from smirk_tpu.flame import FlameModel
@@ -893,11 +935,21 @@ def test_renderer_bin_miss_check_flag(monkeypatch):
     out = flame(params)
     base = Renderer(bundle, image_size=64, use_pallas=True,
                     bin_capacity=3456)
-    assert not base.bin_miss_check
+    assert base.bin_miss_check_diff  # guarded by default (approx binning on)
+    assert not base.bin_miss_check_fused
+    # exact diff binning -> nothing to guard, check stays off
+    exact = Renderer(bundle, image_size=64, use_pallas=True,
+                     bin_capacity=3456, diff_bin_approx=None)
+    assert not exact.bin_miss_check_diff
+    monkeypatch.setenv("SMIRK_BIN_MISS_CHECK", "0")
+    disarmed = Renderer(bundle, image_size=64, use_pallas=True,
+                        bin_capacity=3456)
+    assert not disarmed.bin_miss_check_diff
+    assert not disarmed.bin_miss_check_fused
     monkeypatch.setenv("SMIRK_BIN_MISS_CHECK", "1")
     armed = Renderer(bundle, image_size=64, use_pallas=True,
                      bin_capacity=3456)
-    assert armed.bin_miss_check
+    assert armed.bin_miss_check_diff and armed.bin_miss_check_fused
     face_v = np.asarray(out["vertices"])[:, base.kept_vertices]
     c = face_v.mean(axis=(0, 1))
     cam = jnp.asarray([[7.0, -c[0], -c[1]]])
@@ -907,3 +959,53 @@ def test_renderer_bin_miss_check_flag(monkeypatch):
         assert np.asarray(b["raster_overflow"]).tolist() == [0]
         np.testing.assert_array_equal(
             np.asarray(a["rendered_img"]), np.asarray(b["rendered_img"]))
+
+
+def test_fused_miss_check_requires_overflow_surface():
+    """Arming bin_miss_check without return_overflow would compute misses
+    and silently discard them — must be rejected (advisor r3)."""
+    rng = np.random.default_rng(33)
+    fv = random_mesh(rng, F=50, B=1)
+    fn = jnp.asarray(rng.normal(0, 1, (1, 50, 3, 3)).astype(np.float32))
+    with pytest.raises(ValueError, match="return_overflow"):
+        R.rasterize_normals_fused(fv, fn, 32, capacity=64, interpret=True,
+                                  bin_approx=0.95, bin_miss_check=True)
+
+
+def test_default_renderer_surfaces_injected_miss(monkeypatch):
+    """End to end through the DEFAULT training-path configuration (no env,
+    no flags): a lossy approx selector must show up in the renderer's
+    raster_overflow output — the surface the trainer logs as the
+    `raster_overflow` metric. This is the round-4 guard for the
+    diff_bin_approx=0.95 default (VERDICT r3 item 1): the blind spot where
+    a recall miss perturbed gradients invisibly is closed."""
+    from smirk_tpu import assets
+    from smirk_tpu.flame import FlameModel
+    from smirk_tpu.render.renderer import Renderer
+
+    bundle = assets.load_all()
+    flame = FlameModel(bundle)
+    params = {
+        "shape_params": jnp.zeros((1, 300)),
+        "expression_params": jnp.zeros((1, 50)),
+        "pose_params": jnp.zeros((1, 3)),
+        "jaw_params": jnp.zeros((1, 3)),
+        "eyelid_params": jnp.zeros((1, 2)),
+    }
+    out = flame(params)
+    renderer = Renderer(bundle, image_size=64, use_pallas=True,
+                        bin_capacity=3456)
+    assert renderer.diff_bin_approx is not None  # the shipped default
+    face_v = np.asarray(out["vertices"])[:, renderer.kept_vertices]
+    c = face_v.mean(axis=(0, 1))
+    cam = jnp.asarray([[7.0, -c[0], -c[1]]])
+
+    real_top_k = jax.lax.top_k
+
+    def lossy_approx_max_k(keyf, k, recall_target=None, **kw):
+        vals, idx = real_top_k(keyf, k)
+        return vals.at[..., 0].set(-1.0), idx  # nearest face "missed"
+
+    monkeypatch.setattr(jax.lax, "approx_max_k", lossy_approx_max_k)
+    res = renderer(out["vertices"], cam, inference=False)
+    assert int(np.asarray(res["raster_overflow"]).sum()) > 0
