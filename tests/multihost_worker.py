@@ -51,18 +51,22 @@ if mode == "trainstep":
         for k, v in full.items()
     }
     state_r = parallel.replicate(state, mesh)
-    _, metrics, _ = system.train_step(
-        state_r, gbatch, jax.random.PRNGKey(5), parity=0)
-    # single-device reference on the full global batch (local arrays)
-    _, ref, _ = system.train_step(
-        state, full, jax.random.PRNGKey(5), parity=0)
-    for k in ("loss_first_path", "loss_second_path", "cycle_loss",
-              "landmark_loss_mp"):
-        a, b = float(metrics[k]), float(ref[k])
-        assert np.isfinite(a) and np.isfinite(b), (k, a, b)
-        # sharded reductions reassociate fp32 sums; demand agreement far
-        # below any optimization-relevant scale
-        assert abs(a - b) <= 1e-4 * max(1.0, abs(b)), (k, a, b)
+    # BOTH freeze parities (round 4): parity 1's generator-trains backward
+    # (frozen re-encode + UNet) is half of all real multi-chip steps and
+    # needs cross-process coverage just as much as parity 0
+    for parity in (0, 1):
+        _, metrics, _ = system.train_step(
+            state_r, gbatch, jax.random.PRNGKey(5), parity=parity)
+        # single-device reference on the full global batch (local arrays)
+        _, ref, _ = system.train_step(
+            state, full, jax.random.PRNGKey(5), parity=parity)
+        for k in ("loss_first_path", "loss_second_path", "cycle_loss",
+                  "landmark_loss_mp"):
+            a, b = float(metrics[k]), float(ref[k])
+            assert np.isfinite(a) and np.isfinite(b), (parity, k, a, b)
+            # sharded reductions reassociate fp32 sums; demand agreement far
+            # below any optimization-relevant scale
+            assert abs(a - b) <= 1e-4 * max(1.0, abs(b)), (parity, k, a, b)
     print(f"OK {pid} loss_first_path={float(metrics['loss_first_path'])!r}",
           flush=True)
     sys.exit(0)

@@ -57,7 +57,9 @@ def test_two_process_train_step_matches_single():
     """Full SmirkSystem.train_step across 2 real processes == single-device
     run on the same global batch (the gradient-all-reduce correctness
     statement; assertions live in multihost_worker.py trainstep mode).
-    Both processes print the SAME sharded loss — replicated outputs."""
-    picks = _run_workers("trainstep", 1200)
+    Both processes print the SAME sharded loss — replicated outputs.
+    (Both freeze parities since round 4: 4 step compiles per process,
+    hence the generous timeout on this contended 1-core box.)"""
+    picks = _run_workers("trainstep", 2100)
     assert picks["0"] == picks["1"], picks
     assert picks["0"].startswith("loss_first_path="), picks

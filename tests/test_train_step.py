@@ -67,19 +67,46 @@ def test_eval_step_no_mutation(tiny_system):
 
 
 def test_train_step_multichip(tiny_system):
-    """Batch sharded over an 8-device CPU mesh; params replicated."""
+    """Batch sharded over an 8-device CPU mesh; params replicated. BOTH
+    freeze parities (the schedule alternates every batch, so half of all
+    real multi-chip steps run parity 1 — the generator-trains backward
+    through the frozen re-encode and the UNet; VERDICT r3 item 2), and
+    the sharded run must REPRODUCE the single-device run: same losses
+    (up to fp32 reduction reassociation) and same parameter updates."""
     from smirk_tpu import parallel
 
     system, state = tiny_system
     mesh = parallel.make_mesh()
     assert mesh.devices.size == 8
     batch = make_batch(np.random.default_rng(3), b=8)
-    batch = parallel.shard_batch(batch, mesh)
+    sharded = parallel.shard_batch(batch, mesh)
     state_r = parallel.replicate(state, mesh)
-    s1, metrics, _ = system.train_step(state_r, batch, jax.random.PRNGKey(3),
-                                       parity=0)
-    assert np.isfinite(float(metrics["loss_first_path"]))
-    assert int(s1.step) == int(state.step) + 1
+    for parity in (0, 1):
+        s1, metrics, _ = system.train_step(
+            state_r, sharded, jax.random.PRNGKey(3), parity=parity)
+        _, ref, _ = system.train_step(
+            state, batch, jax.random.PRNGKey(3), parity=parity)
+        assert int(s1.step) == int(state.step) + 1
+        for k in ("loss_first_path", "loss_second_path", "cycle_loss",
+                  "landmark_loss_mp", "reconstruction_loss"):
+            a, b = float(metrics[k]), float(ref[k])
+            assert np.isfinite(a) and np.isfinite(b), (parity, k, a, b)
+            # sharded reductions reassociate fp32 sums; demand agreement far
+            # below any optimization-relevant scale. (Per-PARAMETER equality
+            # after one step is deliberately NOT asserted: with zero Adam
+            # moments the update is lr*g/(|g|+eps), which amplifies
+            # reassociation noise to O(lr) wherever a gradient is ~0.)
+            assert abs(a - b) <= 1e-4 * max(1.0, abs(b)), (parity, k, a, b)
+        # updated params are finite and actually moved under the mesh
+        leaves = jax.tree_util.tree_leaves(
+            {"e": s1.encoder["params"], "g": s1.generator["params"]})
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves), parity
+        moved = sum(
+            float(jnp.abs(a - b).sum()) for a, b in zip(
+                leaves, jax.tree_util.tree_leaves(
+                    {"e": state.encoder["params"],
+                     "g": state.generator["params"]})))
+        assert moved > 0, parity
 
 
 def test_full_state_resume_roundtrip(tiny_system, tmp_path):
