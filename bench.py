@@ -11,9 +11,13 @@ Baseline: BASELINE.json north star >= 500 fps/chip on TPU v5e.
 The line also carries TRAINING throughput (VERDICT r2 item 7): warm
 split-step train iterations at batch 32 bf16 for both freeze parities
 (`train_ms_batch32_bf16_p0/_p1/_avg`, reference trains batch 32 on one GPU,
-configs/config_train.yaml:10-23). The train measurement runs in its own
-child process with a bounded timeout so a worker hiccup there can never
-cost the headline inference number; set SMIRK_BENCH_NO_TRAIN=1 to skip it.
+configs/config_train.yaml:10-23), and the RECONSTRUCT path (VERDICT r3
+item 3 / BASELINE.json workload 3, reference demo.py:133-182): the full
+encode+FLAME+render+mesh-mask+UNet analysis-by-synthesis program at batch
+64 (`reconstruct_fps`/`reconstruct_ms_batch`). Each extra measurement runs
+in its own child process with a bounded timeout so a worker hiccup there
+can never cost the headline inference number; SMIRK_BENCH_NO_TRAIN=1 /
+SMIRK_BENCH_NO_RECON=1 skip them.
 """
 import json
 import os
@@ -178,6 +182,76 @@ def train_main():
     print(json.dumps(fields))
 
 
+def reconstruct_main():
+    """Warm reconstruct-path timing (BASELINE.json workload 3, the paper's
+    analysis-by-neural-synthesis demo: reference demo.py:133-182): one
+    jitted program running encode -> FLAME -> fused render -> mesh-point
+    masking -> fuse-generator UNet at batch 64. Prints one JSON line with
+    reconstruct_* fields for the parent to merge."""
+    import jax
+    import jax.numpy as jnp
+
+    from smirk_tpu import assets
+    from smirk_tpu.config import Config
+    from smirk_tpu.train import SmirkSystem
+
+    _platform_override()
+    on_tpu = jax.default_backend() not in ("cpu",)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else (64 if on_tpu else 2)
+    iters = 10 if on_tpu else 2
+
+    cfg = Config()
+    bundle = assets.load_all()
+    system = SmirkSystem(cfg, bundle, steps_per_epoch=100, use_pallas=on_tpu)
+    state = system.init_state(jax.random.PRNGKey(0))
+    enc_vars, gen_vars = state.encoder, state.generator
+
+    # recenter like main(): random-init weights + synthetic template would
+    # otherwise render an empty scene, understating raster + masking cost
+    face_c = np.asarray(bundle["v_template"])[
+        np.asarray(system.renderer.kept_vertices)
+    ].mean(0)
+    cam_fix = jnp.asarray([0.0, -face_c[0], -face_c[1]])
+
+    @jax.jit
+    def forward(img, hull, key):
+        enc_out = system.encoder.apply(enc_vars, img, train=False)
+        flame_out = system.flame(enc_out)
+        rend = system.renderer(
+            flame_out["vertices"], enc_out["cam"] + cam_fix, inference=True
+        )
+        infer_out = {**enc_out, **flame_out, **rend}
+        masked, recon = system.reconstruct(gen_vars, infer_out, img,
+                                           hull, key)
+        return recon, rend["rendered_mask"]
+
+    S = cfg.image_size
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((batch, S, S, 3), np.float32))
+    # synthetic convex-hull stand-in: 1 = background (reference create_mask
+    # polarity), face box covering the center ~45% of the frame
+    hull = np.ones((batch, S, S, 1), np.float32)
+    hull[:, S // 4: -S // 8, S // 4: -S // 4] = 0.0
+    hull = jnp.asarray(hull)
+    key = jax.random.PRNGKey(0)
+
+    out = forward(img, hull, key)
+    jax.block_until_ready(out)
+    coverage = float(out[1].mean())
+    assert coverage > 0.05, f"reconstruct scene is empty ({coverage})"
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(img, hull, key)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "reconstruct_fps": round(batch * iters / dt, 2),
+        "reconstruct_ms_batch": round(dt / iters * 1e3, 2),
+        "reconstruct_batch": batch,
+    }))
+
+
 def _run_with_retries():
     """The remote TPU worker flakes (compile-helper HTTP 500s; worker
     restarts after a crash can take minutes, during which device init
@@ -198,7 +272,8 @@ def _run_with_retries():
             )
             for line in reversed(proc.stdout.splitlines()):
                 if line.startswith("{"):
-                    print(json.dumps({**json.loads(line), **_train_fields()}))
+                    print(json.dumps({**json.loads(line), **_train_fields(),
+                                      **_recon_fields()}))
                     return 0
             last = (proc.stderr or proc.stdout)[-400:]
         except subprocess.TimeoutExpired:
@@ -236,8 +311,34 @@ def _train_fields():
     return {"train_ms_error": tail}
 
 
+def _recon_fields():
+    """Reconstruct-path fields via a bounded child process; failures
+    degrade to a report field instead of risking the headline number."""
+    if os.environ.get("SMIRK_BENCH_NO_RECON"):
+        return {}
+    env = dict(os.environ, SMIRK_BENCH_RECON_INNER="1")
+    env.pop("SMIRK_BENCH_INNER", None)
+    env.pop("SMIRK_BENCH_TRAIN_INNER", None)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+            capture_output=True, text=True, timeout=2700, env=env,
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        tail = (proc.stderr or proc.stdout)[-200:]
+    except subprocess.TimeoutExpired:
+        tail = "timeout"
+    print(f"reconstruct bench failed (inference number unaffected): {tail}",
+          file=sys.stderr, flush=True)
+    return {"reconstruct_error": tail}
+
+
 if __name__ == "__main__":
-    if os.environ.get("SMIRK_BENCH_TRAIN_INNER"):
+    if os.environ.get("SMIRK_BENCH_RECON_INNER"):
+        reconstruct_main()
+    elif os.environ.get("SMIRK_BENCH_TRAIN_INNER"):
         train_main()
     elif os.environ.get("SMIRK_BENCH_INNER"):
         main()
