@@ -10,10 +10,13 @@
 Protocol (smirk_tpu/serving.py): POST /predict with an npz body holding
 key "img" (N,H,W,3) float32 in [0,1]; the response is an npz of outputs.
 Against a reconstruct artifact (export_serving.py --reconstruct) also pass
---landmarks: the client computes the hull background mask locally and adds
-"hull" (+ optional "seed") to the request.
-Client side needs only numpy + PIL + the standard library (the hull fill
-imports smirk_tpu.data.transforms, pure numpy).
+--landmarks: the client applies the same scale-1.4 landmark face crop as
+Predictor.reconstruct / cli/demo.py / the reference demo, computes the hull
+background mask in the cropped frame, and adds "hull" (+ optional "seed")
+to the request.
+Client side needs numpy + scipy + PIL + the standard library (the crop and
+hull helpers come from smirk_tpu.data.transforms, which imports
+scipy.ndimage for the affine warp fallback).
 """
 import argparse
 import io
@@ -39,20 +42,31 @@ def main(argv=None):
     _, H, W, _ = meta["input"]["shape"]
 
     im = Image.open(args.image).convert("RGB")
-    W0, H0 = im.size
-    img = np.asarray(im.resize((W, H)), np.float32) / 255.0
 
-    payload = {"img": img[None]}
     if meta.get("kind") == "reconstruct":
         if not args.landmarks:
             raise SystemExit("this artifact needs --landmarks for the hull")
         from smirk_tpu.data import transforms as T
 
         kpt = np.load(args.landmarks)[..., :2].astype(np.float32)
-        kpt = kpt * [W / W0, H / H0]  # into the resized frame
-        payload["hull"] = T.convex_hull_mask(
-            kpt, (H, W)).astype(np.float32)[None, :, :, None]
-        payload["seed"] = np.int64(args.seed)
+        # Same scale-1.4 landmark face crop as Predictor.reconstruct,
+        # cli/demo.py, and the reference demo (base_dataset.py crop_face):
+        # a plain full-frame resize would quietly degrade served
+        # reconstructions vs the in-process paths on the same photo.
+        tform = T.crop_face_tform(kpt, scale=1.4, image_size=H)
+        img = np.clip(
+            T.warp_affine(np.asarray(im, np.float32), tform, (H, W)), 0, 255
+        ) / 255.0
+        kpt_c = T.transform_points(tform, kpt)
+        payload = {
+            "img": img[None].astype(np.float32),
+            "hull": T.convex_hull_mask(
+                kpt_c, (H, W)).astype(np.float32)[None, :, :, None],
+            "seed": np.int64(args.seed),
+        }
+    else:
+        img = np.asarray(im.resize((W, H)), np.float32) / 255.0
+        payload = {"img": img[None]}
 
     buf = io.BytesIO()
     np.savez(buf, **payload)
