@@ -8,6 +8,7 @@ ready for jax.device_put.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Dict, List, Optional, Sequence
@@ -196,7 +197,12 @@ def load_dataloaders(config, synthetic: bool = False):
     from smirk_tpu.data import datasets as D
 
     if synthetic:
-        train = D.SyntheticFaceDataset(config, length=max(
+        # SMIRK_SYNTH_LEN sizes the procedural epoch (default 4 batches):
+        # long validation runs want many steps per epoch, not many epochs
+        # (every epoch end writes a full-TrainState checkpoint, and D2H
+        # through the dev tunnel is slow — see PARITY.md)
+        synth_len = int(os.environ.get("SMIRK_SYNTH_LEN", "0"))
+        train = D.SyntheticFaceDataset(config, length=synth_len or max(
             64, config.train.batch_size * 4))
         val = D.SyntheticFaceDataset(config, length=config.train.batch_size * 2,
                                      test=True, seed=1)
