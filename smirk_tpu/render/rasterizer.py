@@ -1745,6 +1745,269 @@ def rasterize_normals_fused(
 
 
 # --------------------------------------------------------------------------
+# Stage 1e: chunk-skip fused raster (round-4 binning attack, OPT-IN)
+#
+# The compact path pays ~6ms/batch64 selecting+compacting per-tile FACE
+# lists (approx_max_k over F=3408 keys per tile) plus ~4ms gathering the
+# selected records into a compact table. This variant bins fixed CH-face
+# CHUNKS of a spatially-ordered face list instead: the per-tile top_k
+# shrinks 8-32x (NC = F/CH candidates), and the kernel fetches each binned
+# chunk from the FULL per-image record table (436KB — VMEM resident) by
+# dynamic row offset, deleting the record gather and compact plan entirely.
+# The price is wasted edge-tests: every face of a binned chunk is evaluated
+# even if only one member overlaps the tile (measured 2.07x the compact
+# path's face-tests at CH=8 under a Morton order,
+# tools/chunk_binning_occupancy.py / tools/tpu_pallas_bin_bench.py).
+# Replaces the binning internals of the reference's pytorch3d wheel
+# (reference src/renderer/renderer.py:171-207) like the flat/compact path.
+# --------------------------------------------------------------------------
+
+
+def spatial_face_order(vertices, faces, bits: int = 10):
+    """Static Morton (z-order) permutation of faces by template centroid.
+
+    Chunk-skip binning quality depends on consecutive faces being screen-
+    local; FLAME's native face order scatters chunks across tiles (1142
+    chunk-tile incidences vs 489 Morton at CH=32 on the bench scene). The
+    deformed mesh tracks the template closely enough that a one-time
+    template-based host-side sort (xy-major: z demoted, the raster cares
+    about screen locality) transfers. -> (F,) int64 permutation (numpy)."""
+    import numpy as np  # host-side one-time helper
+
+    cent = np.asarray(vertices)[np.asarray(faces)].mean(1)
+    cent = cent - cent.min(0)
+    cent[:, 2] *= 0.01  # screen-space locality dominates
+    q = np.clip(cent / (cent.max(0) + 1e-9) * (2 ** bits - 1),
+                0, 2 ** bits - 1).astype(np.uint64)
+    key = np.zeros(len(cent), np.uint64)
+    for b in range(bits):
+        for d in range(3):
+            key |= ((q[:, d] >> np.uint64(b)) & np.uint64(1)) << np.uint64(
+                3 * b + d)
+    return np.argsort(key, kind="stable")
+
+
+def _pad_faces_offscreen(face_verts: jnp.ndarray, chunk: int):
+    """Pad F to a multiple of `chunk` with faces whose bbox lies beyond any
+    tile (NDC 4.0 -> pixel ~2.5*W): they bin nowhere and carry max-z
+    priority, so they can never displace a real chunk."""
+    B, F = face_verts.shape[:2]
+    pad = (-F) % chunk
+    if pad:
+        far = jnp.full((B, pad, 3, 3), 4.0, face_verts.dtype)
+        face_verts = jnp.concatenate([face_verts, far], axis=1)
+    return face_verts, pad
+
+
+def bin_chunks(
+    face_verts: jnp.ndarray, image_size: int, chunk: int, cap: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Assign fixed CH-face chunks to pixel tiles by any-member bbox overlap.
+
+    face_verts (B,F,3,3) with F % chunk == 0 ->
+      clist (B, Tp, cap) int32 chunk ids, 0-padded past each count (0 keeps
+        the kernel's dynamic fetch offset in range; the count bounds use),
+      counts (B, Tp) int32,
+      dropped (B,) int32 — overlapped chunks beyond cap per tile, summed
+        (same unit as the compact path's raster_overflow: face-chunks).
+    Selection is an EXACT top_k over NC = F/chunk keys with near-to-far
+    chunk priority (min member z bucket), so unlike approx_max_k there is
+    no silent-miss mode: the only drop is cap overflow, reported."""
+    B, F = face_verts.shape[:2]
+    assert F % chunk == 0, "pad faces first (_pad_faces_offscreen)"
+    NC = F // chunk
+    H = W = image_size
+    ty = -(-H // TILE_ROWS)
+    tx = -(-W // TILE_COLS)
+    T = ty * tx
+    xmin, xmax, ymin, ymax, prio, prio_span, keep = _bbox_and_priority(
+        face_verts, image_size
+    )
+    tile_r0 = (jnp.arange(ty) * TILE_ROWS).astype(jnp.float32)
+    tile_c0 = (jnp.arange(tx) * TILE_COLS).astype(jnp.float32)
+    ov_r = (ymax[:, None, :] >= tile_r0[None, :, None]) & (
+        ymin[:, None, :] <= tile_r0[None, :, None] + TILE_ROWS - 1
+    )
+    ov_c = (xmax[:, None, :] >= tile_c0[None, :, None]) & (
+        xmin[:, None, :] <= tile_c0[None, :, None] + TILE_COLS - 1
+    )
+    overlap = (
+        ov_r[:, :, None, :] & ov_c[:, None, :, :]
+    ).reshape(B, T, F)
+    if keep is not None:
+        overlap = overlap & keep[:, None, :]
+    occ = overlap.reshape(B, T, NC, chunk).any(-1)  # (B,T,NC)
+    cprio = prio.reshape(B, NC, chunk).min(-1)  # (B,NC) near-to-far
+    k = min(cap, NC)
+    key = occ.astype(jnp.int32) * (prio_span + 1) - cprio[:, None, :]
+    vals, idx = jax.lax.top_k(key, k)  # (B,T,k)
+    valid = vals > 0
+    clist = jnp.where(valid, idx, 0).astype(jnp.int32)
+    counts = valid.sum(-1).astype(jnp.int32)
+    dropped = jnp.maximum(occ.sum(-1) - k, 0).sum(-1).astype(jnp.int32)
+    if k < cap:
+        clist = jnp.concatenate(
+            [clist, jnp.zeros((B, T, cap - k), jnp.int32)], axis=-1
+        )
+    Tp = -(-T // 8) * 8
+    if Tp != T:
+        clist = jnp.concatenate(
+            [clist, jnp.zeros((B, Tp - T, cap), jnp.int32)], axis=1
+        )
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((B, Tp - T), jnp.int32)], axis=1
+        )
+    return clist, counts, dropped
+
+
+def _raster_kernel_v8(counts_ref, clist_ref, recs_ref, face_out, z_out,
+                      nx_out, ny_out, nz_out, *, H, W, TX, T, CH):
+    """v7 z-buffer math fed by per-tile CHUNK-id lists over the full
+    resident record table.
+
+    grid (B,). counts/clist in SMEM ((Tp,1) and (Tp,cap) int32 — the
+    (8,capacity) SMEM window of _raster_kernel is the dynamic-column-read
+    precedent); recs (1, F, RECF_LANES) VMEM (the full per-image table,
+    F = NC*CH rows). Each tile fori-loops its count and fetches chunk
+    cid's CH records at dynamic row offset cid*CH — no record gather, no
+    compact plan. Tie-break: near chunk first (the chunk list is
+    near-to-far), min slot within a chunk — v7's rule at chunk
+    granularity, so equal-z ties across chunk boundaries may resolve to a
+    different (equally correct) face than the compact path."""
+    P = TILE_ROWS * TILE_COLS
+    prow = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) // TILE_COLS
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1) % TILE_COLS
+    slot = jax.lax.broadcasted_iota(jnp.int32, (CH, P), 0)
+
+    def tile_body(j, carry0):
+        ty = j // TX
+        tx = j % TX
+        xs = (2.0 * (pcol + tx * TILE_COLS).astype(jnp.float32)
+              + 1.0 - W) / W
+        ys = (2.0 * (prow + ty * TILE_ROWS).astype(jnp.float32)
+              + 1.0 - H) / H
+
+        def chunk_body(c, carry):
+            bz, bfid, bnx, bny, bnz = carry
+            cid = clist_ref[j, c]
+            off = pl.multiple_of(cid * CH, CH)
+            rec = recs_ref[0, pl.ds(off, CH), :]  # (CH,32)
+            e0 = rec[:, 0:1] * xs + rec[:, 1:2] * ys + rec[:, 2:3]
+            e1 = rec[:, 3:4] * xs + rec[:, 4:5] * ys + rec[:, 5:6]
+            e2 = rec[:, 6:7] * xs + rec[:, 7:8] * ys + rec[:, 8:9]
+            z = rec[:, 9:10] * xs + rec[:, 10:11] * ys + rec[:, 11:12]
+            fid = rec[:, 12:13]
+            inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (fid >= 0)
+            zm = jnp.where(inside, z, BIG_Z)
+            cz = jnp.min(zm, axis=0, keepdims=True)
+            cand = jnp.where(zm == cz, slot, CH)
+            best = jnp.min(cand, axis=0, keepdims=True)
+            oh = (slot == best).astype(jnp.float32)
+            nx = rec[:, 16:17] * xs + rec[:, 19:20] * ys + rec[:, 22:23]
+            ny = rec[:, 17:18] * xs + rec[:, 20:21] * ys + rec[:, 23:24]
+            nz = rec[:, 18:19] * xs + rec[:, 21:22] * ys + rec[:, 24:25]
+            cfid = jnp.sum(oh * fid, axis=0, keepdims=True)
+            cnx = jnp.sum(oh * nx, axis=0, keepdims=True)
+            cny = jnp.sum(oh * ny, axis=0, keepdims=True)
+            cnz = jnp.sum(oh * nz, axis=0, keepdims=True)
+            better = cz < bz
+            sel = lambda a, b: jnp.where(better, a, b)
+            return (sel(cz, bz), sel(cfid, bfid), sel(cnx, bnx),
+                    sel(cny, bny), sel(cnz, bnz))
+
+        zero = jnp.zeros((1, P))
+        bz, bfid, bnx, bny, bnz = jax.lax.fori_loop(
+            0, counts_ref[j, 0], chunk_body,
+            (jnp.full((1, P), BIG_Z), jnp.full((1, P), -1.0),
+             zero, zero, zero),
+        )
+        covered = bz < BIG_Z
+        face_out[0, pl.ds(j, 1), :] = jnp.where(
+            covered, bfid, -1.0).astype(jnp.int32)
+        z_out[0, pl.ds(j, 1), :] = jnp.where(covered, bz, BIG_Z)
+        nx_out[0, pl.ds(j, 1), :] = jnp.where(covered, bnx, 0.0)
+        ny_out[0, pl.ds(j, 1), :] = jnp.where(covered, bny, 0.0)
+        nz_out[0, pl.ds(j, 1), :] = jnp.where(covered, bnz, 0.0)
+        return carry0
+
+    jax.lax.fori_loop(0, T, tile_body, 0)
+
+
+def rasterize_normals_chunkskip(
+    face_verts: jnp.ndarray,
+    face_normals: jnp.ndarray,
+    image_size: int,
+    chunk: int = 8,
+    cap: int = 128,
+    interpret: bool = False,
+    return_overflow: bool = False,
+    face_ids: Optional[jnp.ndarray] = None,
+):
+    """Chunk-skip fused inference raster -> (normals, pix_to_face, zbuf
+    [, overflow]) with the same output contract as rasterize_normals_fused.
+
+    face_ids (F,) overrides the ids written to pix_to_face — pass the
+    original ids of a spatial_face_order-permuted input so consumers keep
+    original face numbering. OPT-IN experiment: the shipped renderer
+    default remains the compact path (ROADMAP round-4 binning notes)."""
+    B, F0 = face_verts.shape[:2]
+    H = W = image_size
+    ty = -(-H // TILE_ROWS)
+    tx = -(-W // TILE_COLS)
+    Hp, Wp = ty * TILE_ROWS, tx * TILE_COLS
+    T = ty * tx
+
+    fv_p, pad = _pad_faces_offscreen(face_verts, chunk)
+    fn_p = face_normals
+    if pad:
+        fn_p = jnp.concatenate(
+            [fn_p, jnp.zeros((B, pad, 3, 3), fn_p.dtype)], axis=1)
+    F = F0 + pad
+
+    ids = jnp.arange(F0, dtype=face_verts.dtype) if face_ids is None else (
+        face_ids.astype(face_verts.dtype))
+    ids = jnp.concatenate([ids, jnp.full((pad,), -1.0, face_verts.dtype)])
+
+    records = face_records_shaded(fv_p, fn_p)  # (B,F,32)
+    records = records.at[..., 12].set(ids[None])
+
+    clist, counts, dropped = bin_chunks(fv_p, image_size, chunk, cap)
+    Tp = clist.shape[1]
+    P = TILE_ROWS * TILE_COLS
+
+    outs = pl.pallas_call(
+        functools.partial(_raster_kernel_v8, H=H, W=W, TX=tx, T=Tp, CH=chunk),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((Tp, 1), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Tp, cap), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, F, RECF_LANES), lambda b: (b, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, Tp, P), lambda b: (b, 0, 0))] * 5,
+        out_shape=[jax.ShapeDtypeStruct((B, Tp, P), jnp.int32)]
+        + [jax.ShapeDtypeStruct((B, Tp, P), jnp.float32)] * 4,
+        interpret=interpret,
+    )(
+        counts.reshape(B * Tp, 1),
+        clist.reshape(B * Tp, cap),
+        records,
+    )
+
+    def to_image(x):
+        x = x[:, :T].reshape(B, ty, tx, TILE_ROWS, TILE_COLS)
+        return x.transpose(0, 1, 3, 2, 4).reshape(B, Hp, Wp)[:, :H, :W]
+
+    p2f = to_image(outs[0])
+    zbuf = to_image(outs[1])
+    normals = jnp.stack([to_image(o) for o in outs[2:5]], axis=-1)
+    if return_overflow:
+        return normals, p2f, zbuf, dropped
+    return normals, p2f, zbuf
+
+
+# --------------------------------------------------------------------------
 # Stage 2b: custom-VJP interpolation with a tiled MXU segment-reduction
 # backward (the autodiff gather-backward scatter costs ~260ms/batch32 on TPU)
 # --------------------------------------------------------------------------

@@ -1009,3 +1009,136 @@ def test_default_renderer_surfaces_injected_miss(monkeypatch):
     monkeypatch.setattr(jax.lax, "approx_max_k", lossy_approx_max_k)
     res = renderer(out["vertices"], cam, inference=False)
     assert int(np.asarray(res["raster_overflow"]).sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# Chunk-skip fused raster (round-4 binning attack, opt-in)
+# ---------------------------------------------------------------------------
+
+
+def _chunky_scene(rng, B=3, F=52, S=64):
+    """Clustered small triangles with varied z; F deliberately NOT a
+    multiple of the chunk sizes under test (exercises offscreen padding)."""
+    v = rng.uniform(-1.1, 1.1, (B, F, 3, 2)).astype(np.float32)
+    c = rng.uniform(-1, 1, (B, F, 1, 2)).astype(np.float32)
+    v = c + (v - c) * 0.25
+    z = rng.uniform(0.5, 2.0, (B, F, 1, 1)).astype(np.float32) + rng.uniform(
+        -0.05, 0.05, (B, F, 3, 1)
+    ).astype(np.float32)
+    fv = jnp.asarray(np.concatenate([v, z], -1))
+    fn = jnp.asarray(rng.normal(size=(B, F, 3, 3)).astype(np.float32))
+    return fv, fn
+
+
+@pytest.mark.parametrize("chunk", [4, 8, 16])
+def test_chunkskip_matches_fused_exact(chunk):
+    """rasterize_normals_chunkskip == exact fused raster: identical
+    pix_to_face (membership + z-winner), z/normals within the plane-eval
+    float noise the fused-vs-oracle tests already tolerate."""
+    rng = np.random.default_rng(0)
+    S = 64
+    fv, fn = _chunky_scene(rng, S=S)
+    base = R.rasterize_normals_fused(
+        fv, fn, S, capacity=64, bin_approx=None, interpret=True
+    )
+    out = R.rasterize_normals_chunkskip(
+        fv, fn, S, chunk=chunk, cap=32, interpret=True, return_overflow=True
+    )
+    assert float((base[1] >= 0).mean()) > 0.1, "non-trivial coverage"
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(base[1]))
+    cov = np.asarray(base[1]) >= 0
+    np.testing.assert_allclose(
+        np.asarray(out[2])[cov], np.asarray(base[2])[cov],
+        rtol=2e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(base[0]), atol=2e-4, rtol=1e-3
+    )
+    assert (np.asarray(out[3]) == 0).all()
+
+
+def test_chunkskip_permuted_input_keeps_original_ids():
+    """A spatial_face_order permutation of the inputs plus face_ids=perm
+    reproduces the unpermuted pix_to_face exactly."""
+    rng = np.random.default_rng(1)
+    S = 64
+    fv, fn = _chunky_scene(rng, S=S)
+    base = R.rasterize_normals_fused(
+        fv, fn, S, capacity=64, bin_approx=None, interpret=True
+    )
+    cent = rng.normal(size=(fv.shape[1] * 3, 3))
+    perm = R.spatial_face_order(
+        cent, np.arange(fv.shape[1] * 3).reshape(fv.shape[1], 3)
+    )
+    out = R.rasterize_normals_chunkskip(
+        fv[:, perm], fn[:, perm], S, chunk=8, cap=32, interpret=True,
+        face_ids=jnp.asarray(np.asarray(perm)),
+    )
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(base[1]))
+
+
+def test_chunkskip_overflow_drops_farthest_and_reports():
+    """Overfilled tile: cap overflow drops the FARTHEST chunks (near-to-far
+    chunk priority), keeps the nearest winner, and reports the drop count."""
+    rng = np.random.default_rng(2)
+    B, F, S, CH = 1, 64, 32, 8
+    # all faces cover the same top-left region; z grows with face id so
+    # chunk priority follows chunk order
+    xy = np.tile(
+        np.asarray([[-0.9, -0.9], [-0.2, -0.9], [-0.55, -0.55]], np.float32),
+        (B, F, 1, 1),
+    )
+    z = (1.0 + np.arange(F, dtype=np.float32) * 0.1)[None, :, None, None]
+    fv = jnp.asarray(
+        np.concatenate([xy, np.broadcast_to(z, (B, F, 3, 1))], -1)
+    )
+    fn = jnp.asarray(np.ones((B, F, 3, 3), np.float32))
+    full = R.rasterize_normals_chunkskip(
+        fv, fn, S, chunk=CH, cap=F // CH, interpret=True,
+        return_overflow=True,
+    )
+    clipped = R.rasterize_normals_chunkskip(
+        fv, fn, S, chunk=CH, cap=2, interpret=True, return_overflow=True
+    )
+    assert (np.asarray(full[3]) == 0).all()
+    assert int(np.asarray(clipped[3]).sum()) > 0
+    # face 0 (nearest) still wins every covered pixel
+    cov = np.asarray(full[1]) >= 0
+    assert cov.any()
+    np.testing.assert_array_equal(np.asarray(clipped[1])[cov], 0)
+    np.testing.assert_array_equal(
+        np.asarray(clipped[1]), np.asarray(full[1])
+    )
+
+
+def test_bin_chunks_occupancy_matches_numpy():
+    """bin_chunks membership/counts against a direct numpy computation of
+    any-member bbox-overlap chunk occupancy."""
+    rng = np.random.default_rng(3)
+    S, CH = 64, 8
+    fv, _ = _chunky_scene(rng, B=2, F=56, S=S)
+    clist, counts, dropped = jax.tree_util.tree_map(
+        np.asarray, R.bin_chunks(fv, S, CH, cap=16)
+    )
+    fvn = np.asarray(fv)
+    px = (fvn[..., 0] * S + S - 1.0) / 2.0
+    py = (fvn[..., 1] * S + S - 1.0) / 2.0
+    x0, x1 = px.min(-1), px.max(-1)
+    y0, y1 = py.min(-1), py.max(-1)
+    ty, tx = S // R.TILE_ROWS, -(-S // R.TILE_COLS)
+    NC = fvn.shape[1] // CH
+    for b in range(fvn.shape[0]):
+        for r in range(ty):
+            for c in range(tx):
+                t = r * tx + c
+                ov = (
+                    (y1[b] >= r * R.TILE_ROWS)
+                    & (y0[b] <= r * R.TILE_ROWS + R.TILE_ROWS - 1)
+                    & (x1[b] >= c * R.TILE_COLS)
+                    & (x0[b] <= c * R.TILE_COLS + R.TILE_COLS - 1)
+                )
+                occ = ov.reshape(NC, CH).any(-1)
+                assert counts[b, t] == min(occ.sum(), 16)
+                got = set(clist[b, t, : counts[b, t]].tolist())
+                assert got == set(np.flatnonzero(occ).tolist())
+    assert (dropped == 0).all()
