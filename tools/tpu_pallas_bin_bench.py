@@ -21,6 +21,23 @@ B. SCATTER-APPEND microbenchmark — the literal "per-tile counters in VMEM
    whether ANY append-style binning can beat the top_k formulation.
 
 Run with Bash run_in_background; never two TPU processes at once.
+Stages selectable by argv: any of {baseline, chunkskip, binchunks, scatter}
+(default: all).
+
+RESULTS (TPU v5e-1, 2026-08-19 16:09-16:14 UTC, /tmp/r4_pallasbin.log):
+  e2e approx resident baseline          15.97 ms/batch64
+  chunkskip ch8 / ch16 / ch32           19.74 / 19.21 / 19.81 ms  -> NEGATIVE
+  bin_chunks ch8 (binning stage alone)   2.20 ms   (vs 6.12 approx_max_k)
+Chunk binning is 2.8x cheaper than face binning, but the 2.07x wasted
+edge-tests + full-table dynamic-offset fetches cost ~8 ms of kernel time —
+exactly what chunk_binning_occupancy.py's occupancy model predicted. The
+21281px mismatch vs the APPROX baseline is z-tie noise (zmaxdiff 9.6e-3 at
+shared mesh edges); CPU tests prove bit-exact equality against the EXACT
+fused path. Chunk-skip stays opt-in (rasterize_normals_chunkskip); the
+compact path remains the shipped design.
+  scatter_append (2026-08-19 2nd run): see JSON tail below when re-run —
+first attempt failed on a Mosaic block constraint (27-row SMEM block; rows
+must be a multiple of 8), fixed by padding the packed bbox rows to 8.
 """
 import functools
 import json
@@ -112,7 +129,7 @@ def scatter_append(fv, image_size, CPT=384, interpret=False):
                 & (xmax >= 0) & (xmin <= tx * R.TILE_COLS - 1))
     packed = jnp.where(
         onscreen, ty0 | (ty1 << 8) | (tx0 << 16) | (tx1 << 24), 1)  # (B,F)
-    NR = -(-F // 128)
+    NR = -(-(-(-F // 128)) // 8) * 8  # Mosaic: SMEM block rows must be 8k
     pad = NR * 128 - F
     if pad:
         packed = jnp.concatenate(
@@ -154,6 +171,8 @@ def main():
     from smirk_tpu.render.renderer import Renderer, Z_OFFSET
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    stages = set(sys.argv[1:]) or {"baseline", "chunkskip", "binchunks",
+                                   "scatter"}
     results = {}
 
     def timeit(fn, *args, iters=16):
@@ -207,9 +226,12 @@ def main():
             fv, fn, S, capacity=CAP, compact=COMPACT, interpret=interp,
             bin_approx=rend.bin_approx, return_overflow=True)
 
-    base = jax.block_until_ready(jax.jit(fused_approx)(fv, fn))
-    results["e2e_approx_ms"] = round(timeit(jax.jit(fused_approx), fv, fn), 2)
-    log(f"e2e approx (resident baseline): {results['e2e_approx_ms']} ms")
+    base = None
+    if "baseline" in stages or "chunkskip" in stages:
+        base = jax.block_until_ready(jax.jit(fused_approx)(fv, fn))
+        results["e2e_approx_ms"] = round(
+            timeit(jax.jit(fused_approx), fv, fn), 2)
+        log(f"e2e approx (resident baseline): {results['e2e_approx_ms']} ms")
 
     # ------------------- A. chunk-skip raster ------------------------------
     perm = R.spatial_face_order(
@@ -218,7 +240,8 @@ def main():
     fnp_ = fn[:, perm]
     ids = jnp.asarray(np.asarray(perm))
 
-    for CH, capc in ((8, 128), (16, 96), (32, 64)):
+    for CH, capc in ((8, 128), (16, 96), (32, 64)) if "chunkskip" in stages \
+            else ():
         tag = f"chunkskip_ch{CH}"
         try:
             f = jax.jit(functools.partial(
@@ -242,17 +265,21 @@ def main():
             log(f"{tag} FAILED: {str(e)[:200]}")
 
     # standalone chunk binning cost at the best CH
-    try:
-        fb = jax.jit(functools.partial(R.bin_chunks, image_size=S, chunk=8,
-                                       cap=128))
-        jax.block_until_ready(fb(fvp))
-        results["bin_chunks_ch8_ms"] = round(timeit(fb, fvp), 2)
-        log(f"bin_chunks ch8: {results['bin_chunks_ch8_ms']} ms")
-    except Exception as e:  # noqa: BLE001
-        results["bin_chunks_ch8_ms"] = str(e)[:200]
-        log(f"bin_chunks FAILED: {str(e)[:200]}")
+    if "binchunks" in stages:
+        try:
+            fb = jax.jit(functools.partial(R.bin_chunks, image_size=S,
+                                           chunk=8, cap=128))
+            jax.block_until_ready(fb(fvp))
+            results["bin_chunks_ch8_ms"] = round(timeit(fb, fvp), 2)
+            log(f"bin_chunks ch8: {results['bin_chunks_ch8_ms']} ms")
+        except Exception as e:  # noqa: BLE001
+            results["bin_chunks_ch8_ms"] = str(e)[:200]
+            log(f"bin_chunks FAILED: {str(e)[:200]}")
 
     # ------------------- B. scatter-append micro ---------------------------
+    if "scatter" not in stages:
+        print(json.dumps(results))
+        return
     try:
         fs = jax.jit(functools.partial(scatter_append, image_size=S,
                                        interpret=interp))
