@@ -41,6 +41,7 @@ must be a multiple of 8), fixed by padding the packed bbox rows to 8.
 """
 import functools
 import json
+import os
 import sys
 import time
 
@@ -280,6 +281,13 @@ def main():
     if "scatter" not in stages:
         print(json.dumps(results))
         return
+    # per-incidence cost is per-image; a smaller batch shrinks the Mosaic
+    # binary the flaky remote compile helper has to chew (B=64 crashed it
+    # twice at the same point, 2026-08-19)
+    sb = int(os.environ.get("SMIRK_SCATTER_B", "0"))
+    if sb and sb < B:
+        B = sb
+        fv = fv[:B]
     try:
         fs = jax.jit(functools.partial(scatter_append, image_size=S,
                                        interpret=interp))
