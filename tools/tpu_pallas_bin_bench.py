@@ -35,9 +35,16 @@ exactly what chunk_binning_occupancy.py's occupancy model predicted. The
 shared mesh edges); CPU tests prove bit-exact equality against the EXACT
 fused path. Chunk-skip stays opt-in (rasterize_normals_chunkskip); the
 compact path remains the shipped design.
-  scatter_append (2026-08-19 2nd run): see JSON tail below when re-run —
-first attempt failed on a Mosaic block constraint (27-row SMEM block; rows
-must be a multiple of 8), fixed by padding the packed bbox rows to 8.
+  scatter_append (2026-08-19, SMIRK_SCATTER_B=8; B=64 crashed the remote
+compile helper twice): 3.5 ms for 8 images / 36023 incidences, counts
+EXACTLY matching the XLA overlap oracle -> 97.2 us per 1k incidences
+(~97 ns per incidence: one dynamic (1,32)-row VMEM store + SMEM counter
+RMW, fully serialized — TPU has no scatter unit). At batch 64 (~288k
+incidences) ANY append-style binning pays ~28 ms just for the appends,
+4.6x the whole shipped approx_max_k stage (6.12 ms). NEGATIVE, decisively:
+the never-materialized top_k formulation stands as the TPU-native design.
+(First B=64 attempt also hit a Mosaic block constraint: SMEM block rows
+must be a multiple of 8 — fixed by padding the packed bbox rows.)
 """
 import functools
 import json
