@@ -102,6 +102,14 @@ def warp_affine(
         fast = native.warp_affine(np.asarray(image, np.float32), M, out_shape)
         if fast is not None:
             return fast
+    if order == 0:
+        from smirk_tpu import native
+
+        fast = native.warp_affine_nearest(
+            np.asarray(image, np.float32), M, out_shape)
+        if fast is not None:
+            return fast
+        return _warp_affine_nearest_np(image, M, out_shape)
     Minv = np.linalg.inv(M)
     # scipy affine_transform maps output coords -> input coords via
     # matrix @ out + offset, in (row, col) order.
@@ -120,6 +128,27 @@ def warp_affine(
             )
         )
     return np.stack(chans, axis=-1)
+
+
+def _warp_affine_nearest_np(image: np.ndarray, M: np.ndarray,
+                            out_shape: Tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor warp, forward matrix M, zero fill outside — the
+    order=0 semantics of scipy affine_transform(order=0, grid-constant)
+    (rounding floor(v+0.5); verified equal in tests), without the ~7 ms
+    scipy geometric_transform call the mask warp used to pay per sample."""
+    img = np.asarray(image, np.float32)
+    H, W = img.shape[:2]
+    OH, OW = out_shape
+    Minv = np.linalg.inv(np.asarray(M, np.float64))
+    xo = np.arange(OW, dtype=np.float64)
+    yo = np.arange(OH, dtype=np.float64)[:, None]
+    ix = np.floor(Minv[0, 0] * xo + Minv[0, 1] * yo + Minv[0, 2] + 0.5)
+    iy = np.floor(Minv[1, 0] * xo + Minv[1, 1] * yo + Minv[1, 2] + 0.5)
+    valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+    ixc = np.clip(ix, 0, W - 1).astype(np.int64)
+    iyc = np.clip(iy, 0, H - 1).astype(np.int64)
+    out = np.where(valid[..., None], img[iyc, ixc], 0.0)
+    return out.astype(np.float32)
 
 
 def transform_points(M: np.ndarray, pts: np.ndarray) -> np.ndarray:
@@ -219,18 +248,138 @@ def _rotate_hue(img: np.ndarray, turns: float) -> np.ndarray:
     return img @ m.T
 
 
+# D65 sRGB <-> XYZ matrices of the cv2 RGB2LAB formula (sRGB-gamma input,
+# the OpenCV convention the reference's albumentations CLAHE goes through;
+# verified empirically: cv2's u8 L channel matches the gamma formula within
+# 0.92 levels vs 78 levels without).
+_RGB2XYZ = np.array([[0.412453, 0.357580, 0.180423],
+                     [0.212671, 0.715160, 0.072169],
+                     [0.019334, 0.119193, 0.950227]], np.float64)
+_XYZ2RGB = np.linalg.inv(_RGB2XYZ)
+_LAB_EPS = 0.008856
+_LAB_KAPPA = 903.3
+
+
+def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_to_srgb(c: np.ndarray) -> np.ndarray:
+    return np.where(c <= 0.0031308, 12.92 * c,
+                    1.055 * np.maximum(c, 0.0) ** (1.0 / 2.4) - 0.055)
+
+
+def _rgb_to_lab(img: np.ndarray):
+    """sRGB float [0,1] -> (L [0,100], a, b), cv2 COLOR_RGB2LAB semantics
+    in float instead of cv2's u8 fixed-point tables."""
+    xyz = _srgb_to_linear(img.astype(np.float64)) @ _RGB2XYZ.T
+    xyz /= np.array([0.950456, 1.0, 1.088754])
+    f = np.where(xyz > _LAB_EPS, np.cbrt(np.maximum(xyz, 0)),
+                 7.787 * xyz + 16.0 / 116.0)
+    L = np.where(xyz[..., 1] > _LAB_EPS,
+                 116.0 * f[..., 1] - 16.0, _LAB_KAPPA * xyz[..., 1])
+    a = 500.0 * (f[..., 0] - f[..., 1])
+    b = 200.0 * (f[..., 1] - f[..., 2])
+    return L, a, b
+
+
+def _lab_to_rgb(L: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def _inv(f):
+        f3 = f ** 3
+        return np.where(f3 > _LAB_EPS, f3, (f - 16.0 / 116.0) / 7.787)
+
+    yr = np.where(L > _LAB_KAPPA * _LAB_EPS,
+                  ((L + 16.0) / 116.0) ** 3, L / _LAB_KAPPA)
+    xyz = np.stack([_inv(fx) * 0.950456, yr, _inv(fz) * 1.088754], -1)
+    lin = np.clip(xyz @ _XYZ2RGB.T, 0.0, 1.0)
+    return _linear_to_srgb(lin).astype(np.float32)
+
+
+def _clahe_apply_u8(channel: np.ndarray, clip_limit: float,
+                    tiles: Tuple[int, int] = (8, 8)) -> np.ndarray:
+    """CLAHE over a (H,W) uint8 channel — numpy oracle for
+    native.clahe_u8 (OpenCV CLAHE semantics: integer clip limit scaled by
+    tile area, batch + residual-step excess redistribution, bilinear
+    interpolation between the 4 surrounding tile LUTs, reflect-101
+    right/bottom padding when the size is not tile-divisible)."""
+    ch = np.asarray(channel, np.uint8)
+    H, W = ch.shape
+    tx_n, ty_n = int(tiles[0]), int(tiles[1])
+    if W % tx_n == 0 and H % ty_n == 0:
+        src = ch
+    else:
+        pw, ph = tx_n - W % tx_n, ty_n - H % ty_n
+        src = np.pad(ch, ((0, ph), (0, pw)), mode="reflect")
+    PH, PW = src.shape
+    tw, th = PW // tx_n, PH // ty_n
+    area = tw * th
+    clip = max(1, int(clip_limit * area / 256.0)) if clip_limit > 0 else 0
+
+    tiles_v = src.reshape(ty_n, th, tx_n, tw).transpose(0, 2, 1, 3)
+    tile_ids = np.arange(ty_n * tx_n)[:, None, None]
+    idx = tile_ids * 256 + tiles_v.reshape(ty_n * tx_n, th, tw)
+    hist = np.bincount(idx.ravel(), minlength=ty_n * tx_n * 256).reshape(
+        ty_n * tx_n, 256).astype(np.int64)
+    if clip > 0:
+        clipped = np.maximum(hist - clip, 0).sum(1)
+        hist = np.minimum(hist, clip) + (clipped // 256)[:, None]
+        residual = clipped - (clipped // 256) * 256
+        for t in np.nonzero(residual)[0]:
+            r = int(residual[t])
+            step = max(1, 256 // r)
+            hist[t, np.arange(0, 256, step)[:r]] += 1
+    lut = np.rint(np.cumsum(hist, 1) * (255.0 / area))
+    lut = np.clip(lut, 0, 255).reshape(ty_n, tx_n, 256)
+
+    # x * (1/tw), not x/tw: the 1-ulp difference flips floor() at exact
+    # tile boundaries and must match the native kernel (and cv2) bit-for-bit
+    txf = np.arange(W) * (1.0 / tw) - 0.5
+    tx1 = np.floor(txf).astype(np.int64)
+    xa = txf - tx1
+    tx2 = np.minimum(tx1 + 1, tx_n - 1)
+    tx1 = np.maximum(tx1, 0)
+    tyf = np.arange(H) * (1.0 / th) - 0.5
+    ty1 = np.floor(tyf).astype(np.int64)
+    ya = (tyf - ty1)[:, None]
+    ty2 = np.minimum(ty1 + 1, ty_n - 1)
+    ty1 = np.maximum(ty1, 0)
+    v = ch.astype(np.int64)
+    r1 = ty1[:, None]
+    r2 = ty2[:, None]
+    res = ((lut[r1, tx1[None, :], v] * (1 - xa) +
+            lut[r1, tx2[None, :], v] * xa) * (1 - ya) +
+           (lut[r2, tx1[None, :], v] * (1 - xa) +
+            lut[r2, tx2[None, :], v] * xa) * ya)
+    return np.clip(np.rint(res), 0, 255).astype(np.uint8)
+
+
 def _clahe(img: np.ndarray, clip_limit: float) -> np.ndarray:
-    """CLAHE on the LAB L channel (albumentations CLAHE semantics); no-op
-    when cv2 is unavailable (documented divergence, PARITY.md)."""
-    try:
-        import cv2
-    except ImportError:
-        return img
-    u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
-    lab = cv2.cvtColor(u8, cv2.COLOR_RGB2LAB)
-    cl = cv2.createCLAHE(clipLimit=clip_limit, tileGridSize=(8, 8))
-    lab[..., 0] = cl.apply(lab[..., 0])
-    return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB).astype(np.float32) / 255.0
+    """CLAHE on the LAB L channel (the reference's albumentations CLAHE,
+    which wraps cv2 — here first-party: sRGB-gamma float LAB transform +
+    the cv2-semantics CLAHE kernel, no cv2 dependency; the native path
+    (fastops clahe_rgb) does the whole pipeline in C++, the numpy path
+    below is the oracle; equivalence vs cv2 is tolerance-tested in
+    tests/test_native_ops.py)."""
+    from smirk_tpu import native
+
+    rgb = np.clip(img, 0.0, 1.0).astype(np.float32)
+    fast = native.clahe_rgb(rgb, clip_limit)
+    if fast is not None:
+        return fast
+    # mirror the native pipeline: u8 quantization on both ends (the
+    # reference's albumentations pipeline is u8 throughout)
+    rgb_q = np.rint(rgb * 255.0) / 255.0
+    L, a, b = _rgb_to_lab(rgb_q)
+    # cv2's u8 pipeline quantizes L to L*255/100; CLAHE histograms need the
+    # same 256-level grid
+    l_u8 = np.clip(np.rint(L * (255.0 / 100.0)), 0, 255).astype(np.uint8)
+    l_eq = _clahe_apply_u8(l_u8, clip_limit)
+    out = _lab_to_rgb(l_eq.astype(np.float64) * (100.0 / 255.0), a, b)
+    return (np.rint(out * 255.0) / 255.0).astype(np.float32)
 
 
 def augment(

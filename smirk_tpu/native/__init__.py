@@ -33,6 +33,24 @@ def load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ]
         try:
+            lib.warp_affine_nearest.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ]
+            lib.clahe_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.clahe_rgb_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+        except AttributeError:
+            pass  # older prebuilt .so without the round-4 augment ops
+        try:
             lib.warp_affine_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_double),
@@ -70,6 +88,58 @@ def warp_affine(image: np.ndarray, M: np.ndarray,
         _fp(img, ctypes.c_float), H, W, C, _fp(minv, ctypes.c_double),
         _fp(out, ctypes.c_float), OH, OW,
     )
+    return out
+
+
+def warp_affine_nearest(image: np.ndarray, M: np.ndarray,
+                        out_shape: Tuple[int, int]) -> Optional[np.ndarray]:
+    """Nearest-neighbor warp (transforms.warp_affine order=0 contract)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "warp_affine_nearest"):
+        return None
+    img = np.ascontiguousarray(image, np.float32)
+    H, W, C = img.shape
+    OH, OW = out_shape
+    Minv = np.linalg.inv(np.asarray(M, np.float64))
+    minv = np.ascontiguousarray(Minv[:2].reshape(-1))
+    out = np.empty((OH, OW, C), np.float32)
+    lib.warp_affine_nearest(
+        _fp(img, ctypes.c_float), H, W, C, _fp(minv, ctypes.c_double),
+        _fp(out, ctypes.c_float), OH, OW,
+    )
+    return out
+
+
+def clahe_u8(channel: np.ndarray, clip_limit: float,
+             tiles: Tuple[int, int] = (8, 8)) -> Optional[np.ndarray]:
+    """CLAHE over a (H,W) uint8 channel; same algorithm as the numpy oracle
+    transforms._clahe_apply_u8 (OpenCV CLAHE semantics)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "clahe_u8"):
+        return None
+    ch = np.ascontiguousarray(channel, np.uint8)
+    H, W = ch.shape
+    out = np.empty((H, W), np.uint8)
+    lib.clahe_u8(_fp(ch, ctypes.c_uint8), H, W, float(clip_limit),
+                 int(tiles[0]), int(tiles[1]), _fp(out, ctypes.c_uint8))
+    return out
+
+
+def clahe_rgb(image: np.ndarray, clip_limit: float,
+              tiles: Tuple[int, int] = (8, 8)) -> Optional[np.ndarray]:
+    """Full CLAHE augmentation op on a (H,W,3) float32 sRGB image in [0,1]
+    (transforms._clahe pipeline: u8 quantize, LAB, CLAHE on L, back)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "clahe_rgb_f32"):
+        return None
+    img = np.ascontiguousarray(image, np.float32)
+    H, W, C = img.shape
+    if C != 3:
+        return None
+    out = np.empty((H, W, 3), np.float32)
+    lib.clahe_rgb_f32(_fp(img, ctypes.c_float), H, W, float(clip_limit),
+                      int(tiles[0]), int(tiles[1]),
+                      _fp(out, ctypes.c_float))
     return out
 
 

@@ -85,6 +85,236 @@ void warp_affine_bilinear(const float* img, int H, int W, int C,
     }
 }
 
+// Nearest-neighbor variant of the warp (mask channel in the augmentation
+// pipeline, transforms.augment order=0): out(y,x,c) = img(rint(iy),
+// rint(ix), c), zero outside. Rounding is floor(v + 0.5) to match the
+// scipy order-0 spline semantics pinned by the numpy oracle.
+void warp_affine_nearest(const float* img, int H, int W, int C,
+                         const double* minv, float* out, int OH, int OW) {
+    const double a = minv[0], b = minv[1], tx = minv[2];
+    const double c = minv[3], d = minv[4], ty = minv[5];
+    for (int y = 0; y < OH; ++y) {
+        const double base_x = b * y + tx;
+        const double base_y = d * y + ty;
+        float* orow = out + (size_t)y * OW * C;
+        for (int x = 0; x < OW; ++x) {
+            const int ix = (int)std::floor(a * x + base_x + 0.5);
+            const int iy = (int)std::floor(c * x + base_y + 0.5);
+            float* opix = orow + (size_t)x * C;
+            if (ix < 0 || iy < 0 || ix >= W || iy >= H) {
+                for (int ch = 0; ch < C; ++ch) opix[ch] = 0.0f;
+            } else {
+                const float* ipix = img + ((size_t)iy * W + ix) * C;
+                for (int ch = 0; ch < C; ++ch) opix[ch] = ipix[ch];
+            }
+        }
+    }
+}
+
+// CLAHE over a u8 single-channel image (the LAB L channel in
+// transforms._clahe). Algorithm follows the OpenCV CLAHE semantics the
+// reference's albumentations pipeline uses (per-tile 256-bin histogram,
+// integer clip limit scaled by tile area, batch+residual-step excess
+// redistribution, bilinear interpolation between the 4 surrounding tile
+// LUTs); the numpy oracle in transforms.py is the equivalence reference.
+// Non-divisible sizes pad right/bottom by reflect-101 like cv2.
+static void clahe_u8_impl(const uint8_t* in, int H, int W, double clip_limit,
+                          int tiles_x, int tiles_y, uint8_t* out) {
+    const bool divisible = (W % tiles_x == 0) && (H % tiles_y == 0);
+    int PW = W, PH = H;
+    std::vector<uint8_t> padded;
+    const uint8_t* src = in;
+    if (!divisible) {
+        PW = W + (tiles_x - W % tiles_x);
+        PH = H + (tiles_y - H % tiles_y);
+        padded.resize((size_t)PH * PW);
+        for (int y = 0; y < PH; ++y) {
+            // reflect-101: index n reflects to 2*(N-1)-n
+            const int sy = y < H ? y : 2 * (H - 1) - y;
+            for (int x = 0; x < PW; ++x) {
+                const int sx = x < W ? x : 2 * (W - 1) - x;
+                padded[(size_t)y * PW + x] = in[(size_t)sy * W + sx];
+            }
+        }
+        src = padded.data();
+    }
+    const int tw = PW / tiles_x, th = PH / tiles_y;
+    const int tile_area = tw * th;
+    int clip = 0;
+    if (clip_limit > 0.0)
+        clip = std::max(1, (int)(clip_limit * tile_area / 256.0));
+
+    std::vector<uint8_t> lut((size_t)tiles_y * tiles_x * 256);
+    std::vector<int> hist(256);
+    const double lut_scale = 255.0 / tile_area;
+    for (int tyi = 0; tyi < tiles_y; ++tyi) {
+        for (int txi = 0; txi < tiles_x; ++txi) {
+            std::fill(hist.begin(), hist.end(), 0);
+            for (int y = tyi * th; y < (tyi + 1) * th; ++y)
+                for (int x = txi * tw; x < (txi + 1) * tw; ++x)
+                    hist[src[(size_t)y * PW + x]]++;
+            if (clip > 0) {
+                int clipped = 0;
+                for (int i = 0; i < 256; ++i)
+                    if (hist[i] > clip) { clipped += hist[i] - clip; hist[i] = clip; }
+                const int batch = clipped / 256;
+                int residual = clipped - batch * 256;
+                for (int i = 0; i < 256; ++i) hist[i] += batch;
+                if (residual > 0) {
+                    const int step = std::max(1, 256 / residual);
+                    for (int i = 0; i < 256 && residual > 0; i += step, --residual)
+                        hist[i]++;
+                }
+            }
+            uint8_t* tlut = lut.data() + ((size_t)tyi * tiles_x + txi) * 256;
+            long long sum = 0;
+            for (int i = 0; i < 256; ++i) {
+                sum += hist[i];
+                const long v = std::lrint(sum * lut_scale);
+                tlut[i] = (uint8_t)std::min(255L, std::max(0L, v));
+            }
+        }
+    }
+
+    const double inv_tw = 1.0 / tw, inv_th = 1.0 / th;
+    for (int y = 0; y < H; ++y) {
+        const double tyf = y * inv_th - 0.5;
+        int ty1 = (int)std::floor(tyf);
+        const double ya = tyf - ty1;
+        int ty2 = std::min(ty1 + 1, tiles_y - 1);
+        ty1 = std::max(ty1, 0);
+        for (int x = 0; x < W; ++x) {
+            const double txf = x * inv_tw - 0.5;
+            int tx1 = (int)std::floor(txf);
+            const double xa = txf - tx1;
+            int tx2 = std::min(tx1 + 1, tiles_x - 1);
+            tx1 = std::max(tx1, 0);
+            const uint8_t v = in[(size_t)y * W + x];
+            const double l11 = lut[((size_t)ty1 * tiles_x + tx1) * 256 + v];
+            const double l12 = lut[((size_t)ty1 * tiles_x + tx2) * 256 + v];
+            const double l21 = lut[((size_t)ty2 * tiles_x + tx1) * 256 + v];
+            const double l22 = lut[((size_t)ty2 * tiles_x + tx2) * 256 + v];
+            const double res = (l11 * (1 - xa) + l12 * xa) * (1 - ya) +
+                               (l21 * (1 - xa) + l22 * xa) * ya;
+            const long r = std::lrint(res);
+            out[(size_t)y * W + x] = (uint8_t)std::min(255L, std::max(0L, r));
+        }
+    }
+}
+
+void clahe_u8(const uint8_t* in, int H, int W, double clip_limit,
+              int tiles_x, int tiles_y, uint8_t* out) {
+    clahe_u8_impl(in, H, W, clip_limit, tiles_x, tiles_y, out);
+}
+
+// Full CLAHE augmentation op over a float32 sRGB image in [0,1]
+// (transforms._clahe hot path): u8-quantize, sRGB->LAB (D65, gamma — the
+// cv2 COLOR_RGB2LAB semantics, float math instead of cv2's fixed-point
+// tables), CLAHE on the L channel, LAB->sRGB, u8-quantize. The numpy
+// fallback in transforms._clahe mirrors this pipeline.
+void clahe_rgb_f32(const float* img, int H, int W, double clip_limit,
+                   int tiles_x, int tiles_y, float* out) {
+    static const double M[9] = {0.412453, 0.357580, 0.180423,
+                                0.212671, 0.715160, 0.072169,
+                                0.019334, 0.119193, 0.950227};
+    // inverse of M (adjugate/det, double)
+    double inv[9];
+    {
+        const double a = M[0], b = M[1], c = M[2], d = M[3], e = M[4],
+                     f = M[5], g = M[6], h = M[7], i = M[8];
+        const double det = a * (e * i - f * h) - b * (d * i - f * g) +
+                           c * (d * h - e * g);
+        inv[0] = (e * i - f * h) / det; inv[1] = (c * h - b * i) / det;
+        inv[2] = (b * f - c * e) / det; inv[3] = (f * g - d * i) / det;
+        inv[4] = (a * i - c * g) / det; inv[5] = (c * d - a * f) / det;
+        inv[6] = (d * h - e * g) / det; inv[7] = (b * g - a * h) / det;
+        inv[8] = (a * e - b * d) / det;
+    }
+    const double eps = 0.008856, kappa = 903.3;
+    // u8 -> linear decode table (input is quantized to 256 sRGB levels,
+    // like the reference's u8 albumentations pipeline); magic-static init
+    // is thread-safe under the loader's worker threads
+    static const std::vector<double> lin_lut = [] {
+        std::vector<double> t(256);
+        for (int v = 0; v < 256; ++v) {
+            const double c = v / 255.0;
+            t[v] = c <= 0.04045 ? c / 12.92
+                                : std::pow((c + 0.055) / 1.055, 2.4);
+        }
+        return t;
+    }();
+
+    // sRGB-encode via threshold table instead of per-pixel pow: output
+    // level q = #{v : thr[v] <= lin}, where thr[v] is the linear value at
+    // which round(encode(lin)*255) crosses from v-1 to v.
+    static const std::vector<double> enc_thr = [] {
+        std::vector<double> t(255);
+        for (int v = 1; v <= 255; ++v) {
+            const double s = (v - 0.5) / 255.0;
+            t[v - 1] = s <= 0.04045 ? s / 12.92
+                                    : std::pow((s + 0.055) / 1.055, 2.4);
+        }
+        return t;
+    }();
+
+    const size_t n = (size_t)H * W;
+    std::vector<uint8_t> l_u8(n);
+    std::vector<float> av(n), bv(n);
+    auto fl = [&](double t) {
+        return t > eps ? std::cbrt(t) : 7.787 * t + 16.0 / 116.0;
+    };
+    run_parallel(H, 0, [&](int row) {
+      for (size_t p = (size_t)row * W; p < (size_t)(row + 1) * W; ++p) {
+        const float* px = img + p * 3;
+        int r = (int)std::lrintf(px[0] * 255.0f);
+        int g = (int)std::lrintf(px[1] * 255.0f);
+        int b = (int)std::lrintf(px[2] * 255.0f);
+        r = std::min(255, std::max(0, r));
+        g = std::min(255, std::max(0, g));
+        b = std::min(255, std::max(0, b));
+        const double R = lin_lut[r], G = lin_lut[g], B = lin_lut[b];
+        const double X = (M[0] * R + M[1] * G + M[2] * B) / 0.950456;
+        const double Y = M[3] * R + M[4] * G + M[5] * B;
+        const double Z = (M[6] * R + M[7] * G + M[8] * B) / 1.088754;
+        const double fx = fl(X), fy = fl(Y), fz = fl(Z);
+        const double L = Y > eps ? 116.0 * fy - 16.0 : kappa * Y;
+        const long lq = std::lrint(L * (255.0 / 100.0));
+        l_u8[p] = (uint8_t)std::min(255L, std::max(0L, lq));
+        av[p] = (float)(500.0 * (fx - fy));
+        bv[p] = (float)(200.0 * (fy - fz));
+      }
+    });
+
+    std::vector<uint8_t> l_eq(n);
+    clahe_u8_impl(l_u8.data(), H, W, clip_limit, tiles_x, tiles_y,
+                  l_eq.data());
+
+    auto finv = [&](double f) {
+        const double f3 = f * f * f;
+        return f3 > eps ? f3 : (f - 16.0 / 116.0) / 7.787;
+    };
+    run_parallel(H, 0, [&](int row) {
+      for (size_t p = (size_t)row * W; p < (size_t)(row + 1) * W; ++p) {
+        const double L = l_eq[p] * (100.0 / 255.0);
+        const double fy = (L + 16.0) / 116.0;
+        const double fx = fy + av[p] / 500.0;
+        const double fz = fy - bv[p] / 200.0;
+        const double yr = L > kappa * eps ? fy * fy * fy : L / kappa;
+        const double X = finv(fx) * 0.950456, Z = finv(fz) * 1.088754;
+        float* opx = out + p * 3;
+        for (int ch = 0; ch < 3; ++ch) {
+            double lin = inv[3 * ch] * X + inv[3 * ch + 1] * yr +
+                         inv[3 * ch + 2] * Z;
+            lin = std::min(1.0, std::max(0.0, lin));
+            const int q = (int)(std::upper_bound(enc_thr.begin(),
+                                                 enc_thr.end(), lin) -
+                                enc_thr.begin());
+            opx[ch] = (float)(q / 255.0);
+        }
+      }
+    });
+}
+
 // mask(y, x) = 0 inside the convex hull of pts, 1 outside.
 // pts: (N, 2) float64 [x, y]. Scanline fill over the hull polygon.
 void convex_hull_mask(const double* pts, int N, float* mask, int H, int W) {

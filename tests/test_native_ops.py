@@ -112,3 +112,107 @@ def test_demo_video_deferred_crop_resolution():
             0, 255) / 255.0
         np.testing.assert_allclose(crops[i], want, atol=1e-6)
     assert isinstance(crops[1], np.ndarray)
+
+
+# ---------------- round-4 augmentation host ops (nearest warp, CLAHE) ------
+
+
+def test_nearest_warp_numpy_matches_scipy():
+    """Pins the order=0 semantics: _warp_affine_nearest_np ==
+    scipy affine_transform(order=0, grid-constant) (the pre-round-4
+    implementation of the augment mask warp)."""
+    from scipy import ndimage
+
+    rng = np.random.default_rng(7)
+    for M in _mats(rng, 6):
+        img = rng.random((41, 37, 2)).astype(np.float32)
+        got = T._warp_affine_nearest_np(img, M, (33, 29))
+        Minv = np.linalg.inv(M)
+        A = np.array([[Minv[1, 1], Minv[1, 0]], [Minv[0, 1], Minv[0, 0]]])
+        off = np.array([Minv[1, 2], Minv[0, 2]])
+        want = np.stack(
+            [ndimage.affine_transform(img[:, :, c], A, offset=off,
+                                      output_shape=(33, 29), order=0,
+                                      mode="grid-constant", cval=0.0)
+             for c in range(2)], axis=-1)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_native_nearest_warp_matches_numpy_oracle():
+    rng = np.random.default_rng(8)
+    img = rng.random((50, 44, 1)).astype(np.float32)
+    for M in _mats(rng, 6):
+        a = native.warp_affine_nearest(img, M, (40, 48))
+        b = T._warp_affine_nearest_np(img, M, (40, 48))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_clahe_u8_matches_numpy_oracle():
+    """Bit-exact across divisible and non-divisible tile grids and the
+    whole clip range used by augment (U(1,4)) plus extremes."""
+    rng = np.random.default_rng(9)
+    for shape in [(224, 224), (223, 225), (64, 100), (8, 8)]:
+        for clip in [0.7, 1.0, 2.5, 4.0, 40.0]:
+            ch = rng.integers(0, 256, shape).astype(np.uint8)
+            a = T._clahe_apply_u8(ch, clip)
+            b = native.clahe_u8(ch, clip)
+            np.testing.assert_array_equal(a, b)
+
+
+def test_clahe_u8_matches_cv2():
+    """The CLAHE kernel follows cv2's algorithm (the reference's
+    albumentations CLAHE backend): same u8 input -> at most 1-level
+    differences on a tiny fraction of pixels (cv2 interpolates the tile
+    LUTs in float32; ours is float64)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(10)
+    for shape in [(224, 224), (223, 225)]:
+        for clip in [1.0, 2.5, 4.0]:
+            ch = rng.integers(0, 256, shape).astype(np.uint8)
+            ours = T._clahe_apply_u8(ch, clip)
+            ref = cv2.createCLAHE(clipLimit=clip, tileGridSize=(8, 8)).apply(ch)
+            d = np.abs(ours.astype(int) - ref.astype(int))
+            assert d.max() <= 1
+            assert (d > 0).mean() < 0.01
+
+
+def test_native_clahe_rgb_matches_numpy_fallback():
+    """The full _clahe pipeline (quantize, LAB, CLAHE-L, back): native and
+    numpy agree to the output's u8 quantization grid (ties under 1-ulp
+    transcendental differences may flip a level on isolated pixels)."""
+    rng = np.random.default_rng(11)
+    real_load = native.load
+    for clip in [1.0, 2.2, 3.9]:
+        img = np.clip(rng.random((96, 80, 3)), 0, 1).astype(np.float32)
+        nat = T._clahe(img, clip)
+        try:
+            native.load = lambda: None
+            ora = T._clahe(img, clip)
+        finally:
+            native.load = real_load
+        d = np.abs(nat.astype(np.float64) - ora) * 255.0
+        assert d.max() <= 1.0 + 1e-6
+        assert (d > 0.5).mean() < 1e-3
+
+
+def test_clahe_rgb_close_to_cv2_pipeline():
+    """End-to-end _clahe vs the cv2 LAB round-trip the reference's
+    albumentations CLAHE performs: distribution-level agreement (float
+    LAB vs cv2's u8 fixed-point tables; PARITY.md augmentation table)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(12)
+    base = (rng.random((28, 28, 3)) * 255).astype(np.uint8)
+    img = np.asarray([cv2.resize(base[:, :, c], (224, 224))
+                      for c in range(3)]).transpose(1, 2, 0)
+    img = (img / 255.0).astype(np.float32)
+    for clip in [1.5, 3.0]:
+        ours = T._clahe(img, clip)
+        u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        lab = cv2.cvtColor(u8, cv2.COLOR_RGB2LAB)
+        lab[..., 0] = cv2.createCLAHE(
+            clipLimit=clip, tileGridSize=(8, 8)).apply(lab[..., 0])
+        ref = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB).astype(np.float32) / 255.0
+        d = np.abs(ours - ref) * 255.0
+        assert d.mean() < 3.0
+        # enhancement direction agrees: both move L the same way
+        assert np.corrcoef((ours - img).ravel(), (ref - img).ravel())[0, 1] > 0.9
