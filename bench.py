@@ -187,7 +187,12 @@ def reconstruct_main():
     analysis-by-neural-synthesis demo: reference demo.py:133-182): one
     jitted program running encode -> FLAME -> fused render -> mesh-point
     masking -> fuse-generator UNet at batch 64. Prints one JSON line with
-    reconstruct_* fields for the parent to merge."""
+    reconstruct_* fields for the parent to merge.
+
+    The batch is PINNED (64 on TPU, like train_main pins 32): an argv
+    batch override only resizes the headline inference program — a novel
+    reconstruct-scale program would count against the worker program
+    budget (CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -197,7 +202,7 @@ def reconstruct_main():
 
     _platform_override()
     on_tpu = jax.default_backend() not in ("cpu",)
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else (64 if on_tpu else 2)
+    batch = 64 if on_tpu else 2
     iters = 10 if on_tpu else 2
 
     cfg = Config()
@@ -286,16 +291,21 @@ def _run_with_retries():
     return 1
 
 
-def _train_fields():
-    """Training-throughput fields via a bounded child process; any failure
-    degrades to a report field instead of risking the headline number."""
-    if os.environ.get("SMIRK_BENCH_NO_TRAIN"):
+def _child_fields(name, inner_env, skip_env, error_key):
+    """Extra-workload fields via a bounded child process; any failure
+    degrades to a report field instead of risking the headline number.
+    No argv is forwarded: both extra workloads pin their own batch sizes
+    (worker program budget, see train_main/reconstruct_main).
+    Compiles can take ~10-15 min each over the remote compile tunnel;
+    warm reruns take seconds."""
+    if os.environ.get(skip_env):
         return {}
-    env = dict(os.environ, SMIRK_BENCH_TRAIN_INNER="1")
-    env.pop("SMIRK_BENCH_INNER", None)
+    env = dict(os.environ, **{inner_env: "1"})
+    for other in ("SMIRK_BENCH_INNER", "SMIRK_BENCH_TRAIN_INNER",
+                  "SMIRK_BENCH_RECON_INNER"):
+        if other != inner_env:
+            env.pop(other, None)
     try:
-        # two split-step bf16 compiles can take ~10-15 min each over the
-        # remote compile tunnel; warm reruns take seconds
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             capture_output=True, text=True, timeout=2700, env=env,
@@ -306,33 +316,19 @@ def _train_fields():
         tail = (proc.stderr or proc.stdout)[-200:]
     except subprocess.TimeoutExpired:
         tail = "timeout"
-    print(f"train bench failed (inference number unaffected): {tail}",
+    print(f"{name} bench failed (inference number unaffected): {tail}",
           file=sys.stderr, flush=True)
-    return {"train_ms_error": tail}
+    return {error_key: tail}
+
+
+def _train_fields():
+    return _child_fields("train", "SMIRK_BENCH_TRAIN_INNER",
+                         "SMIRK_BENCH_NO_TRAIN", "train_ms_error")
 
 
 def _recon_fields():
-    """Reconstruct-path fields via a bounded child process; failures
-    degrade to a report field instead of risking the headline number."""
-    if os.environ.get("SMIRK_BENCH_NO_RECON"):
-        return {}
-    env = dict(os.environ, SMIRK_BENCH_RECON_INNER="1")
-    env.pop("SMIRK_BENCH_INNER", None)
-    env.pop("SMIRK_BENCH_TRAIN_INNER", None)
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
-            capture_output=True, text=True, timeout=2700, env=env,
-        )
-        for line in reversed(proc.stdout.splitlines()):
-            if line.startswith("{"):
-                return json.loads(line)
-        tail = (proc.stderr or proc.stdout)[-200:]
-    except subprocess.TimeoutExpired:
-        tail = "timeout"
-    print(f"reconstruct bench failed (inference number unaffected): {tail}",
-          file=sys.stderr, flush=True)
-    return {"reconstruct_error": tail}
+    return _child_fields("reconstruct", "SMIRK_BENCH_RECON_INNER",
+                         "SMIRK_BENCH_NO_RECON", "reconstruct_error")
 
 
 if __name__ == "__main__":

@@ -118,6 +118,18 @@ void warp_affine_nearest(const float* img, int H, int W, int C,
 // redistribution, bilinear interpolation between the 4 surrounding tile
 // LUTs); the numpy oracle in transforms.py is the equivalence reference.
 // Non-divisible sizes pad right/bottom by reflect-101 like cv2.
+
+// reflect-101 index fold valid for ANY n (repeated reflection, like
+// np.pad mode="reflect"), not just n < 2*(N-1): needed when the pad
+// width exceeds the image extent (H or W smaller than the tile grid).
+static inline int reflect101(int n, int N) {
+    if (N == 1) return 0;
+    const int period = 2 * (N - 1);
+    n %= period;
+    if (n < 0) n += period;
+    return n < N ? n : period - n;
+}
+
 static void clahe_u8_impl(const uint8_t* in, int H, int W, double clip_limit,
                           int tiles_x, int tiles_y, uint8_t* out) {
     const bool divisible = (W % tiles_x == 0) && (H % tiles_y == 0);
@@ -129,10 +141,9 @@ static void clahe_u8_impl(const uint8_t* in, int H, int W, double clip_limit,
         PH = H + (tiles_y - H % tiles_y);
         padded.resize((size_t)PH * PW);
         for (int y = 0; y < PH; ++y) {
-            // reflect-101: index n reflects to 2*(N-1)-n
-            const int sy = y < H ? y : 2 * (H - 1) - y;
+            const int sy = y < H ? y : reflect101(y, H);
             for (int x = 0; x < PW; ++x) {
-                const int sx = x < W ? x : 2 * (W - 1) - x;
+                const int sx = x < W ? x : reflect101(x, W);
                 padded[(size_t)y * PW + x] = in[(size_t)sy * W + sx];
             }
         }

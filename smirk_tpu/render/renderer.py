@@ -64,10 +64,10 @@ class Renderer:
         # no gradients at stake — and the check's pre-count reduction
         # would tax the latency-critical path. Overrides: an explicit
         # bin_miss_check= argument or env SMIRK_BIN_MISS_CHECK=1/0
-        # arms/disarms BOTH paths.
+        # arms/disarms BOTH paths (empty string = unset, keep defaults).
         env = os.environ.get("SMIRK_BIN_MISS_CHECK")
-        if bin_miss_check is None and env is not None:
-            bin_miss_check = env not in ("", "0")
+        if bin_miss_check is None and env:
+            bin_miss_check = env != "0"
         if bin_miss_check is None:
             self.bin_miss_check_diff = self.diff_bin_approx is not None
             self.bin_miss_check_fused = False

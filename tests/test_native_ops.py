@@ -159,6 +159,20 @@ def test_native_clahe_u8_matches_numpy_oracle():
             np.testing.assert_array_equal(a, b)
 
 
+def test_native_clahe_u8_tiny_images_reflect_pad():
+    """Images smaller than the tile grid force reflect-101 pad widths that
+    exceed the image extent: the native fold must reflect REPEATEDLY like
+    np.pad(mode="reflect") instead of computing negative source indices
+    (out-of-bounds reads; round-4 review finding). Covers 1-pixel axes."""
+    rng = np.random.default_rng(12)
+    for shape in [(4, 4), (1, 16), (16, 1), (3, 7), (5, 5), (7, 229)]:
+        for clip in [1.0, 2.0, 4.0]:
+            ch = rng.integers(0, 256, shape).astype(np.uint8)
+            a = T._clahe_apply_u8(ch, clip)
+            b = native.clahe_u8(ch, clip)
+            np.testing.assert_array_equal(a, b)
+
+
 def test_clahe_u8_matches_cv2():
     """The CLAHE kernel follows cv2's algorithm (the reference's
     albumentations CLAHE backend): same u8 input -> at most 1-level

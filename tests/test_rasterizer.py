@@ -950,6 +950,13 @@ def test_renderer_bin_miss_check_flag(monkeypatch):
     armed = Renderer(bundle, image_size=64, use_pallas=True,
                      bin_capacity=3456)
     assert armed.bin_miss_check_diff and armed.bin_miss_check_fused
+    # empty string = unset (a launcher clearing the var must NOT silently
+    # disarm the training-path default; round-4 review finding)
+    monkeypatch.setenv("SMIRK_BIN_MISS_CHECK", "")
+    cleared = Renderer(bundle, image_size=64, use_pallas=True,
+                       bin_capacity=3456)
+    assert cleared.bin_miss_check_diff
+    assert not cleared.bin_miss_check_fused
     face_v = np.asarray(out["vertices"])[:, base.kept_vertices]
     c = face_v.mean(axis=(0, 1))
     cam = jnp.asarray([[7.0, -c[0], -c[1]]])
