@@ -114,6 +114,7 @@ def main(argv=None):
                 k1, out["transformed_vertices"], system.flame.faces,
                 system.face_probabilities,
                 int(0.05 * 224 * 224), 224,
+                incidence=system.flame_incidence,
             )
             extra = M.transfer_pixels(imgs, npts, npts)
             masked = M.compose_mask(

@@ -16,6 +16,7 @@ All shapes static; all randomness from explicit jax PRNG keys. Images NHWC.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -112,9 +113,31 @@ def sample_mesh_points(
         # categorical == multinomial-with-replacement; guard all-zero rows
         total = probs.sum(-1, keepdims=True)
         safe = jnp.where(total > 0, probs, 1.0)
-        logits = jnp.log(safe)
-        face_idx = jax.random.categorical(kf, logits[:, None, :], axis=-1,
-                                          shape=(B, num_points))
+        if os.environ.get("SMIRK_SAMPLE_GUMBEL"):
+            # original formulation: gumbel-argmax over (B, N, F) — kept as
+            # a distribution oracle (test_masking sampling tests pass under
+            # either; draws differ, distributions match)
+            logits = jnp.log(safe)
+            face_idx = jax.random.categorical(
+                kf, logits[:, None, :], axis=-1, shape=(B, num_points))
+        else:
+            # Inverse-CDF sampling by compare-count: cumsum over F once per
+            # image, then `searchsorted(cdf, u, side='right') ==
+            # #{f : cdf[f] <= u}` as a broadcast compare reduced over F.
+            # TPU-native on measurement, not just in theory: the gumbel
+            # argmax streams ~1.6e9 transcendental draws and a log-F
+            # binary search issues B*N*logF serial scalar gathers — BOTH
+            # measured ~140 ms/batch64 on v5e, 73% of the whole
+            # reconstruct path, while this compare-count reduce is pure
+            # vectorized VPU work with no gathers (~2 ms; PARITY.md
+            # round-5 reconstruct bisect). Same distribution, different
+            # draw sequence; exactness vs searchsorted pinned in
+            # test_masking.py::test_cdf_count_equals_searchsorted.
+            cdf = jnp.cumsum(safe, axis=-1)  # (B,F)
+            u = jax.random.uniform(kf, (B, num_points)) * cdf[:, -1:]
+            face_idx = (cdf[:, None, :] <= u[:, :, None]).sum(
+                -1, dtype=jnp.int32)
+            face_idx = jnp.minimum(face_idx, safe.shape[-1] - 1)
         bary = random_barycentric(kb, (B, num_points))
         coords = {"sampled_faces_indices": face_idx, "barycentric_coords": bary}
     pts = interpolate_on_faces(
@@ -150,15 +173,23 @@ def transfer_pixels(
 
 
 def _dilate(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Binary dilation via max pooling, window 2r+1 stride 1 (masking.py:78)."""
-    return jax.lax.reduce_window(
-        mask,
-        -jnp.inf,
-        jax.lax.max,
-        (1, 2 * radius + 1, 2 * radius + 1, 1),
-        (1, 1, 1, 1),
-        "SAME",
-    )
+    """Binary dilation via max pooling, window 2r+1 stride 1 (masking.py:78).
+
+    Max over a square window separates exactly into a row pass then a
+    column pass: 2*(2r+1) comparisons per pixel instead of (2r+1)^2 —
+    15.5x less VPU work at the recipe radius 10 (bit-identical output,
+    test_masking.py::test_dilate_separable_matches_naive).
+    SMIRK_DILATE_NAIVE=1 restores the single-pass square window."""
+    k = 2 * radius + 1
+    if os.environ.get("SMIRK_DILATE_NAIVE"):
+        return jax.lax.reduce_window(
+            mask, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1), "SAME"
+        )
+    for window in ((1, k, 1, 1), (1, 1, k, 1)):
+        mask = jax.lax.reduce_window(
+            mask, -jnp.inf, jax.lax.max, window, (1, 1, 1, 1), "SAME"
+        )
+    return mask
 
 
 def compose_mask(

@@ -58,19 +58,20 @@ class Renderer:
         # post-selection counts, rasterizer.selection_misses), so a recall
         # failure can no longer perturb values/gradients silently — it
         # shows in the `raster_overflow` train metric the trainer already
-        # logs. The fused INFERENCE path stays opt-in: a miss there drops
-        # one (near-to-far prioritized, typically occluded) face from one
-        # tile — the same benign failure mode as capacity overflow, with
-        # no gradients at stake — and the check's pre-count reduction
-        # would tax the latency-critical path. Overrides: an explicit
-        # bin_miss_check= argument or env SMIRK_BIN_MISS_CHECK=1/0
+        # logs. Round 5: the fused INFERENCE path is armed by default too —
+        # the check was measured FREE at batch 64 on v5e (armed 3271.3 vs
+        # unarmed 3262.8 fps, i.e. noise; tools/tpu_infer_misscheck_bench
+        # .py 2026-08-20), and callers that don't consume `raster_overflow`
+        # pay nothing (XLA dead-code-eliminates the check), while serving
+        # exports now expose the count (serving.OUTPUT_KEYS). Overrides: an
+        # explicit bin_miss_check= argument or env SMIRK_BIN_MISS_CHECK=1/0
         # arms/disarms BOTH paths (empty string = unset, keep defaults).
         env = os.environ.get("SMIRK_BIN_MISS_CHECK")
         if bin_miss_check is None and env:
             bin_miss_check = env != "0"
         if bin_miss_check is None:
             self.bin_miss_check_diff = self.diff_bin_approx is not None
-            self.bin_miss_check_fused = False
+            self.bin_miss_check_fused = self.bin_approx is not None
         else:
             self.bin_miss_check_diff = bool(bin_miss_check)
             self.bin_miss_check_fused = bool(bin_miss_check)

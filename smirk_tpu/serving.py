@@ -29,6 +29,11 @@ OUTPUT_KEYS = (
     "pose_params", "cam", "shape_params", "expression_params",
     "eyelid_params", "jaw_params", "vertices", "landmarks_fan",
     "landmarks_mp", "rendered_img", "rendered_mask",
+    # (B,) int32: compact-raster chunks dropped past budget + approx-binning
+    # selection misses (armed by default round 5, measured free — renderer
+    # __init__ notes). 0 = bit-exact render; serving clients get the guard
+    # the training metric stream already had.
+    "raster_overflow",
 )
 
 

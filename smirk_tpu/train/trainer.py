@@ -813,9 +813,13 @@ class SmirkSystem:
         n_upper = int(float(c.train.mask_ratio) * mul * S * S)
         B = img.shape[0]
         k1, k2, k3, k4 = jax.random.split(key, 4)
+        # incidence tables make the frontal-facing gate's vertex normals
+        # gathers instead of scatters — omitting them cost 140 ms/batch64
+        # (73% of the whole reconstruct path; PARITY round-5 bisect)
         npoints, _ = masking_lib.sample_mesh_points(
             k1, infer_out["transformed_vertices"], self.flame.faces,
-            self.face_probabilities, n_upper, S)
+            self.face_probabilities, n_upper, S,
+            incidence=self.flame_incidence)
         rsing = jax.random.randint(k2, (B,), 0, 2) * 2 - 1
         rscale = jax.random.uniform(k3, (B,)) * (mul - 1) + 1
         rbound = (n_upper / mul * (rscale ** rsing)).astype(jnp.int32)

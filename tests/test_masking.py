@@ -152,3 +152,69 @@ def test_prepare_sample_mask_polarity():
     m = s["mask"][..., 0]
     assert m[32, 32] == 0.0  # face center
     assert m[1, 1] == 1.0 and m[-2, -2] == 1.0  # corners = background
+
+
+def test_dilate_separable_matches_naive(monkeypatch):
+    """Round-5 separable dilation is bit-identical to the square window."""
+    rng = np.random.default_rng(5)
+    mask = jnp.asarray((rng.random((2, 41, 37, 1)) > 0.9).astype(np.float32))
+    for radius in (1, 5, 10, 15):
+        fast = M.masking._dilate(mask, radius)
+        monkeypatch.setenv("SMIRK_DILATE_NAIVE", "1")
+        naive = M.masking._dilate(mask, radius)
+        monkeypatch.delenv("SMIRK_DILATE_NAIVE")
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(naive))
+
+
+def test_sampling_cdf_matches_gumbel_distribution(monkeypatch):
+    """Inverse-CDF sampler draws the same face distribution as the original
+    gumbel-argmax formulation (draw sequences differ by construction)."""
+    verts = jnp.asarray(FIX["verts"])
+    faces = jnp.asarray(FIX["faces"].astype(np.int32))
+    probs = jnp.asarray(FIX["probs"])
+    F = probs.shape[-1]
+    N = 4096
+
+    def histogram(seed_env):
+        if seed_env:
+            monkeypatch.setenv("SMIRK_SAMPLE_GUMBEL", "1")
+        counts = np.zeros((verts.shape[0], F))
+        for s in range(4):
+            _, coords = M.sample_mesh_points(
+                jax.random.PRNGKey(s), verts, faces, probs, N, S)
+            idx = np.asarray(coords["sampled_faces_indices"])
+            for b in range(idx.shape[0]):
+                counts[b] += np.bincount(idx[b], minlength=F)
+        if seed_env:
+            monkeypatch.delenv("SMIRK_SAMPLE_GUMBEL")
+        return counts / counts.sum(-1, keepdims=True)
+
+    h_cdf = histogram(False)
+    h_gum = histogram(True)
+    # expected distribution (weighted probabilities, normalized)
+    w = np.asarray(M.face_sampling_probabilities(verts, faces, probs))
+    w = w / w.sum(-1, keepdims=True)
+    # total-variation distance per image: both samplers near the target,
+    # and near each other (16k draws -> TV noise floor ~ sqrt(F/N)/2 ~ 0.04)
+    tv_cdf = 0.5 * np.abs(h_cdf - w).sum(-1).max()
+    tv_gum = 0.5 * np.abs(h_gum - w).sum(-1).max()
+    tv_x = 0.5 * np.abs(h_cdf - h_gum).sum(-1).max()
+    assert tv_cdf < 0.08, tv_cdf
+    assert tv_gum < 0.08, tv_gum
+    assert tv_x < 0.1, tv_x
+
+
+def test_cdf_count_equals_searchsorted():
+    """The compare-count face sampler is exactly searchsorted(side=right)."""
+    rng = np.random.default_rng(9)
+    for _ in range(3):
+        probs = rng.random((3, 57)).astype(np.float32)
+        probs[1, :30] = 0.0  # zero runs -> repeated cdf values
+        cdf = jnp.cumsum(jnp.asarray(probs), axis=-1)
+        u = jnp.asarray(
+            rng.random((3, 64)).astype(np.float32)) * cdf[:, -1:]
+        count = (cdf[:, None, :] <= u[:, :, None]).sum(-1, dtype=jnp.int32)
+        ss = jax.vmap(
+            lambda c, uu: jnp.searchsorted(c, uu, side="right")
+        )(cdf, u)
+        np.testing.assert_array_equal(np.asarray(count), np.asarray(ss))
