@@ -60,9 +60,13 @@ def main():
             return out["rendered_img"], out["rendered_mask"]
         B = img.shape[0]
         k1, k2, k3, k4 = jax.random.split(key, 4)
+        # incidence tables as in the (round-5 fixed) trainer.reconstruct;
+        # SMIRK_BISECT_SCATTER_NORMALS=1 reproduces the pre-fix scatter path
+        inc = (None if os.environ.get("SMIRK_BISECT_SCATTER_NORMALS")
+               else system.flame_incidence)
         npoints, _ = masking_lib.sample_mesh_points(
             k1, out["transformed_vertices"], system.flame.faces,
-            system.face_probabilities, n_upper, S)
+            system.face_probabilities, n_upper, S, incidence=inc)
         if stage == "sample":
             return npoints, out["rendered_mask"]
         rsing = jax.random.randint(k2, (B,), 0, 2) * 2 - 1
