@@ -913,11 +913,12 @@ def test_bin_miss_check_preserves_outputs_and_grads():
 
 
 def test_renderer_bin_miss_check_flag(monkeypatch):
-    """Round-4 default: the differentiable (training) path arms the miss
-    check whenever approx binning is active; the fused inference path is
-    opt-in. SMIRK_BIN_MISS_CHECK=1/0 arms/disarms BOTH paths. Arming never
-    changes the rendered output; raster_overflow stays zero on this
-    backend (exact selection)."""
+    """Round-5 default: BOTH paths arm the miss check whenever their approx
+    binning is active (fused-path arming measured FREE at b64 on v5e —
+    tools/tpu_infer_misscheck_bench.py; callers not consuming
+    raster_overflow pay nothing via DCE). SMIRK_BIN_MISS_CHECK=1/0
+    arms/disarms BOTH paths. Arming never changes the rendered output;
+    raster_overflow stays zero on this backend (exact selection)."""
     from smirk_tpu import assets
     from smirk_tpu.flame import FlameModel
     from smirk_tpu.render.renderer import Renderer
@@ -936,11 +937,15 @@ def test_renderer_bin_miss_check_flag(monkeypatch):
     base = Renderer(bundle, image_size=64, use_pallas=True,
                     bin_capacity=3456)
     assert base.bin_miss_check_diff  # guarded by default (approx binning on)
-    assert not base.bin_miss_check_fused
-    # exact diff binning -> nothing to guard, check stays off
+    assert base.bin_miss_check_fused  # round 5: fused path armed too
+    # exact diff binning -> nothing to guard on that path
     exact = Renderer(bundle, image_size=64, use_pallas=True,
                      bin_capacity=3456, diff_bin_approx=None)
     assert not exact.bin_miss_check_diff
+    # exact fused binning -> fused check off as well
+    exact_f = Renderer(bundle, image_size=64, use_pallas=True,
+                       bin_capacity=3456, bin_approx=None)
+    assert not exact_f.bin_miss_check_fused
     monkeypatch.setenv("SMIRK_BIN_MISS_CHECK", "0")
     disarmed = Renderer(bundle, image_size=64, use_pallas=True,
                         bin_capacity=3456)
@@ -956,7 +961,7 @@ def test_renderer_bin_miss_check_flag(monkeypatch):
     cleared = Renderer(bundle, image_size=64, use_pallas=True,
                        bin_capacity=3456)
     assert cleared.bin_miss_check_diff
-    assert not cleared.bin_miss_check_fused
+    assert cleared.bin_miss_check_fused
     face_v = np.asarray(out["vertices"])[:, base.kept_vertices]
     c = face_v.mean(axis=(0, 1))
     cam = jnp.asarray([[7.0, -c[0], -c[1]]])
