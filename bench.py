@@ -319,20 +319,28 @@ def _run_with_retries():
         if budget < 60:
             last = last or "deadline exhausted before first attempt"
             break
+        out = ""
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
                 capture_output=True, text=True,
                 timeout=min(1500, budget), env=env,
             )
-            for line in reversed(proc.stdout.splitlines()):
-                if line.startswith("{"):
-                    print(json.dumps({**json.loads(line), **_train_fields(),
-                                      **_recon_fields()}))
-                    return 0
+            out = proc.stdout
             last = (proc.stderr or proc.stdout)[-400:]
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # the worker can die at process TEARDOWN after the measurement
+            # printed (PARITY.md worker notes) — salvage the child's stdout
+            # instead of discarding a completed headline number
+            out = e.stdout or b""
+            if isinstance(out, bytes):
+                out = out.decode("utf-8", "replace")
             last = "timeout (worker unresponsive)"
+        for line in reversed(out.splitlines()):
+            if line.startswith("{"):
+                print(json.dumps({**json.loads(line), **_train_fields(),
+                                  **_recon_fields()}))
+                return 0
         print(f"bench attempt {i + 1}/{attempts} failed: {last}",
               file=sys.stderr, flush=True)
         if i + 1 < attempts:
@@ -377,7 +385,15 @@ def _child_fields(name, inner_env, skip_env, error_key):
         )
         for line in reversed(proc.stdout.splitlines()):
             if line.startswith("{"):
-                return json.loads(line)
+                fields = json.loads(line)
+                if proc.returncode != 0:
+                    # e.g. worker death during a later variant's compile
+                    # after the first fields printed: keep them but mark
+                    # the record partial so a missing reconstruct_bf16_*
+                    # can't pass as never-attempted
+                    fields[error_key] = (
+                        f"partial (child rc={proc.returncode})")
+                return fields
         tail = (proc.stderr or proc.stdout)[-200:]
     except subprocess.TimeoutExpired as e:
         # salvage any fields the child printed before the timeout kill

@@ -137,7 +137,16 @@ def sample_mesh_points(
             u = jax.random.uniform(kf, (B, num_points)) * cdf[:, -1:]
             face_idx = (cdf[:, None, :] <= u[:, :, None]).sum(
                 -1, dtype=jnp.int32)
-            face_idx = jnp.minimum(face_idx, safe.shape[-1] - 1)
+            # u*total can round up to exactly cdf[-1] (count == F); clamp
+            # to the last POSITIVE-probability face, not blindly to F-1 —
+            # trailing faces are often prob-0 (backfacing gate) and the
+            # gumbel oracle (-inf logits) could never select one
+            F = safe.shape[-1]
+            iota = jnp.arange(F, dtype=jnp.int32)
+            last_pos = jnp.max(
+                jnp.where(safe > 0, iota[None, :], -1), axis=-1,
+                keepdims=True)  # (B,1); all-zero rows have safe==1.0
+            face_idx = jnp.minimum(face_idx, last_pos)
         bary = random_barycentric(kb, (B, num_points))
         coords = {"sampled_faces_indices": face_idx, "barycentric_coords": bary}
     pts = interpolate_on_faces(

@@ -120,6 +120,17 @@ def time_pair(run1, run2, state, batch, key):
 
 
 def main():
+    # validate variant names BEFORE the expensive build/baseline work so a
+    # typo can't burn a TPU run (and worker budget) on a KeyError
+    names = [n for n in os.environ.get(
+        "SMIRK_SWEEP", "none" if CPU_SMOKE else "lhs_true,rwb_off"
+    ).split(",") if n]
+    unknown = [n for n in names if n not in VARIANTS]
+    if unknown:
+        raise SystemExit(
+            f"unknown SMIRK_SWEEP variants {unknown}; "
+            f"known: {sorted(VARIANTS)}")
+
     system, state, batch = build()
     key = jax.random.PRNGKey(0)
     results = {}
@@ -135,10 +146,7 @@ def main():
         (time.perf_counter() - t0) / ITERS * 1e3, 1)
     print(json.dumps(results), flush=True)
 
-    names = os.environ.get(
-        "SMIRK_SWEEP", "none" if CPU_SMOKE else "lhs_true,rwb_off"
-    ).split(",")
-    for name in [n for n in names if n]:
+    for name in names:
         opts = VARIANTS[name]
         try:
             t0 = time.perf_counter()

@@ -58,6 +58,14 @@ def main():
         out = {**enc_out, **flame_out, **rend}
         if stage == "base":
             return out["rendered_img"], out["rendered_mask"]
+        if stage == "full":
+            # the end-to-end number comes from the REAL product path
+            # (trainer.py says reconstruct() is the single source for the
+            # budget/mask math) so it cannot drift from what ships; the
+            # intermediate prefixes below are measurement replicas of its
+            # stages and must be kept in sync with it by hand
+            _, recon = system.reconstruct(gen_vars, out, img, hull, key)
+            return recon, out["rendered_mask"]
         B = img.shape[0]
         k1, k2, k3, k4 = jax.random.split(key, 4)
         # incidence tables as in the (round-5 fixed) trainer.reconstruct;
@@ -81,12 +89,8 @@ def main():
             dilation_radius=int(c.train.mask_dilation_radius),
             rendered_mask=out["rendered_mask"],
             extra_noise=True, random_mask=0.01)
-        if stage == "mask":
-            return masked, out["rendered_mask"]
-        recon = system.generator.apply(
-            gen_vars,
-            jnp.concatenate([out["rendered_img"], masked], -1), train=False)
-        return recon, out["rendered_mask"]
+        assert stage == "mask", stage
+        return masked, out["rendered_mask"]
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((BATCH, S, S, 3), np.float32))
