@@ -65,3 +65,31 @@ def test_demo_main_render_orig(tmp_path):
     ])
     panel = np.asarray(Image.open(os.path.join(out_dir, "face.png")))
     assert panel.shape[0] == 400 and panel.shape[1] == 2 * 360
+
+
+def test_demo_crop_via_fake_mediapipe(tmp_path, monkeypatch):
+    """--crop with NO --landmarks: get_landmarks falls through to the
+    mediapipe wrapper (fake-injected), exercising the detection branch the
+    reference runs by default (demo.py:70-106)."""
+    from test_mediapipe_wrapper import _Pt, _install_fake_mediapipe
+
+    from smirk_tpu.cli import demo, mediapipe_utils
+
+    monkeypatch.setattr(mediapipe_utils, "_detector", None)
+    H, W = 400, 360
+    theta = np.linspace(0, 2 * np.pi, 478, endpoint=False)
+    pts = [_Pt((180 + 80 * np.cos(t)) / W, (200 + 100 * np.sin(t)) / H,
+               0.01) for t in theta]
+    captured = {}
+    _install_fake_mediapipe(monkeypatch, [pts], captured)
+
+    img_path, _ = _fake_face(tmp_path)
+    out_dir = str(tmp_path / "out_mp")
+    demo.main([
+        "--input_path", img_path,
+        "--crop",
+        "--out_path", out_dir,
+    ])
+    out = os.path.join(out_dir, "face.png")
+    assert os.path.exists(out)
+    assert captured["data"].shape == (H, W, 3)  # detector saw the image
