@@ -110,3 +110,35 @@ def test_run_mediapipe_no_face_returns_none(monkeypatch, wrapper):
     _install_fake_mediapipe(monkeypatch, [], captured)
     img = np.zeros((8, 8, 3), np.uint8)
     assert wrapper.run_mediapipe(img) is None
+
+
+def test_apply_mediapipe_process_image(monkeypatch, wrapper, tmp_path):
+    """tools/apply_mediapipe_to_dataset.process_image end-to-end with the
+    fake package: decode -> detect -> .npy written (PARITY row 22)."""
+    import importlib.util
+    import os
+
+    from PIL import Image
+
+    captured = {}
+    _install_fake_mediapipe(monkeypatch, [[_Pt(0.5, 0.5, 0.0)]], captured)
+
+    spec = importlib.util.spec_from_file_location(
+        "apply_mp", os.path.join(os.path.dirname(__file__), "..", "tools",
+                                 "apply_mediapipe_to_dataset.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    in_path = str(tmp_path / "a.png")
+    out_path = str(tmp_path / "a.npy")
+    Image.fromarray(np.zeros((16, 20, 3), np.uint8)).save(in_path)
+    assert mod.process_image((in_path, out_path)) is True
+    lmk = np.load(out_path)
+    np.testing.assert_allclose(lmk, [[10.0, 8.0, 0.0]])  # 0.5*W, 0.5*H
+
+    # no-detection: nothing written, False returned
+    monkeypatch.setattr(wrapper, "_detector", None)
+    _install_fake_mediapipe(monkeypatch, [], captured)
+    out2 = str(tmp_path / "b.npy")
+    assert mod.process_image((in_path, out2)) is False
+    assert not os.path.exists(out2)
