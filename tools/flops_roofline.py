@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--train_p0_ms", type=float, default=199.1)
     ap.add_argument("--train_p1_ms", type=float, default=144.3)
     ap.add_argument("--infer_fps", type=float, default=3311.45)
+    ap.add_argument("--recon_ms", type=float, default=None,
+                    help="measured reconstruct ms/batch (round 5: 62.93)")
     ap.add_argument("--train_batch", type=int, default=32)
     ap.add_argument("--infer_batch", type=int, default=64)
     ap.add_argument("--bf16", action="store_true", default=True,
@@ -101,6 +103,20 @@ def main():
     report["infer_fwd_jnp_raster_b%d" % B] = _flops(
         jax.jit(infer_fwd).lower(state.encoder, img))
 
+    # ---- reconstruct program (round 5): infer + mask sampling + UNet ----
+    def recon_fwd(ev, gv, x, hull, k):
+        enc_out = system.encoder.apply(ev, x, train=False)
+        flame_out = system.flame(enc_out)
+        rend = system.renderer(flame_out["vertices"], enc_out["cam"])
+        out = {**enc_out, **flame_out, **rend}
+        _, recon = system.reconstruct(gv, out, x, hull, k)
+        return recon
+
+    hull = jnp.ones((B, S, S, 1), jnp.float32)
+    report["reconstruct_fwd_jnp_raster_b%d" % B] = _flops(
+        jax.jit(recon_fwd).lower(state.encoder, state.generator, img, hull,
+                                 jax.random.PRNGKey(0)))
+
     # ---- full train step (batch = train batch), both parities ----
     Bt = args.train_batch
     rng = np.random.default_rng(0)
@@ -145,6 +161,17 @@ def main():
                  "path is raster-bound on VPU compare/select work, not "
                  "MXU matmuls"),
     }
+    if args.recon_ms:
+        f = report["reconstruct_fwd_jnp_raster_b%d" % B]
+        achieved = f / (args.recon_ms / 1e3)
+        out["reconstruct"] = {
+            "flops_per_batch_jnp_raster_UPPER_BOUND": f,
+            "measured_ms": args.recon_ms,
+            "achieved_tflops_upper_bound": round(achieved / 1e12, 2),
+            "note": ("raster upper-bounded as above; of the 63 ms path, "
+                     "only the ~22 ms UNet forward is MXU conv work — "
+                     "the rest is raster/sampling/scatter VPU work"),
+        }
     print(json.dumps(out, indent=2))
 
 
