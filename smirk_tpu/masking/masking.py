@@ -13,6 +13,13 @@ Equivalent capability to reference src/utils/masking.py:
     by scattering invalid points out of bounds (mode='drop').
 
 All shapes static; all randomness from explicit jax PRNG keys. Images NHWC.
+
+TPU-native since round 5 (measured, PARITY.md reconstruct bisect): the
+categorical draw is inverse-CDF via broadcast compare-count (no gumbel
+tail, no gathers), the dilation is a separable max-pool, and callers pass
+static incidence tables so the frontal-facing gate's vertex normals are
+gathers, never scatters. Env oracles: SMIRK_SAMPLE_GUMBEL=1 /
+SMIRK_DILATE_NAIVE=1 restore the direct formulations.
 """
 from __future__ import annotations
 
